@@ -1,0 +1,130 @@
+"""Graph representation and the graph compiler.
+
+The reference keeps the graph as a Python ``defaultdict(set)`` adjacency list
+and does all sampling with Python set algebra on the hot path (reference
+src/dataCenter.py:33, src/models.py:277-289).  A TPU framework cannot afford
+host-side set manipulation per step, so the graph is compiled **once** into
+fixed-shape integer tensors:
+
+- ``CSRGraph``: compressed sparse row adjacency (indptr/indices int32), the
+  canonical host-side form.  Undirected-ization (both directions inserted,
+  reference src/dataCenter.py:40-41) happens at construction.
+- ``PaddedAdjacency``: a dense ``[N, P]`` neighbor table padded to the max
+  (or capped) degree with a validity count per row.  This is the device-side
+  form that `jax.random`-based samplers index with static shapes.
+
+Everything downstream (samplers, aggregation kernels) consumes these tables;
+no Python objects cross the host→device boundary per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CSRGraph:
+    """Compressed sparse row adjacency.  Rows sorted by node id, neighbor
+    lists sorted ascending (deterministic; the reference's set iteration
+    order is not, which is one reason parity is checked on recorded
+    subgraphs rather than RNG emulation — see SURVEY §3 RNG notes)."""
+
+    num_nodes: int
+    indptr: np.ndarray  # int32 [N+1]
+    indices: np.ndarray  # int32 [E]
+
+    @property
+    def num_edges(self) -> int:
+        """Directed edge slots (each undirected edge counts twice)."""
+        return int(self.indices.shape[0])
+
+    @property
+    def degrees(self) -> np.ndarray:
+        return (self.indptr[1:] - self.indptr[:-1]).astype(np.int32)
+
+    def neighbors(self, node: int) -> np.ndarray:
+        return self.indices[self.indptr[node] : self.indptr[node + 1]]
+
+    @staticmethod
+    def from_edges(num_nodes: int, src: np.ndarray, dst: np.ndarray,
+                   undirected: bool = True) -> "CSRGraph":
+        """Build CSR from an edge list.
+
+        With ``undirected=True`` both directions are inserted and duplicate
+        edges are removed — the exact semantics of the reference loader
+        (src/dataCenter.py:40-41: ``adj_lists[a].add(b); adj_lists[b].add(a)``;
+        a Python set dedups repeats).  Self-loops are kept if present in the
+        input, as the reference's sets would keep them.
+        """
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if undirected:
+            s = np.concatenate([src, dst])
+            d = np.concatenate([dst, src])
+        else:
+            s, d = src, dst
+        # dedup (set semantics) via unique on packed 64-bit keys
+        key = s * np.int64(num_nodes) + d
+        key = np.unique(key)
+        s = (key // num_nodes).astype(np.int64)
+        d = (key % num_nodes).astype(np.int64)
+        # sort by (src, dst) — unique already returns sorted keys
+        counts = np.bincount(s, minlength=num_nodes)
+        indptr = np.zeros(num_nodes + 1, dtype=np.int32)
+        np.cumsum(counts, out=indptr[1:])
+        return CSRGraph(num_nodes=num_nodes,
+                        indptr=indptr,
+                        indices=d.astype(np.int32))
+
+    def to_padded(self, cap: int | None = None,
+                  pad_value: int = 0) -> "PaddedAdjacency":
+        """Compile to a dense padded neighbor table.
+
+        ``cap`` limits the per-row width; rows with degree > cap keep a
+        uniform random-free *prefix* truncation is NOT applied — instead the
+        first ``cap`` sorted neighbors are kept and ``truncated`` records it.
+        For the shipped datasets ``cap=None`` (full max degree) is cheap:
+        Cora max-deg ≈ 168 → 2708×168 int32 ≈ 1.8 MB.
+        """
+        deg = self.degrees
+        max_deg = int(deg.max()) if self.num_nodes else 0
+        width = max_deg if cap is None else min(cap, max_deg)
+        width = max(width, 1)
+        table = np.full((self.num_nodes, width), pad_value, dtype=np.int32)
+        for_deg = np.minimum(deg, width)
+        # vectorized fill: flat positions row*width + col
+        rows = np.repeat(np.arange(self.num_nodes), for_deg)
+        offs = np.concatenate([np.arange(n) for n in for_deg]) if len(rows) else np.zeros(0, int)
+        table[rows, offs] = self.indices[
+            (np.repeat(self.indptr[:-1], for_deg) + offs)]
+        return PaddedAdjacency(
+            neighbors=table,
+            degrees=for_deg.astype(np.int32),
+            true_degrees=deg,
+            truncated=bool((deg > width).any()),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddedAdjacency:
+    """Dense [N, P] neighbor table + per-row valid counts.
+
+    ``neighbors[i, :degrees[i]]`` are real neighbor ids; the rest is padding.
+    This is the structure device-side samplers gather from with static
+    shapes (replaces reference src/models.py:279 ``to_neighs`` list-of-sets).
+    """
+
+    neighbors: np.ndarray      # int32 [N, P]
+    degrees: np.ndarray        # int32 [N]  (clipped to P)
+    true_degrees: np.ndarray   # int32 [N]  (pre-cap)
+    truncated: bool
+
+    @property
+    def width(self) -> int:
+        return int(self.neighbors.shape[1])
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.neighbors.shape[0])

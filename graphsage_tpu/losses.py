@@ -1,0 +1,92 @@
+"""Training objectives as pure, fixed-shape jnp functions.
+
+Reference semantics:
+- supervised: hand-picked NLL over log_softmax logits,
+  ``−Σ logists[range, labels] / len(batch)`` (src/utils.py:161-163);
+- unsup "normal": per target node, mean over its positive pairs of
+  −log σ(cos) plus −Q·mean over its negative pairs of log σ(−cos), averaged
+  over nodes that have both kinds of pairs (src/models.py:65-98);
+- unsup "margin": per node, relu(max_neg − min_pos + MARGIN) on
+  log σ(cos) scores (src/models.py:100-132);
+- plus_unsup: supervised + unsup summed (src/utils.py:165-175).
+
+Variable-size pair sets become masked fixed-shape tensors (`PairBatch`);
+means/min/max are computed under the masks, and nodes lacking a positive or
+negative pair are excluded exactly as the reference's ``continue`` does
+(src/models.py:75-76, 110-111).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.ops.aggregate import pair_cosine
+
+
+def supervised_nll(log_probs: jax.Array, labels: jax.Array,
+                   row_mask: jax.Array) -> jax.Array:
+    """−mean over valid rows of log_probs[i, labels[i]]
+    (reference src/utils.py:161-163; divisor = number of real batch rows).
+    log_probs: [U, C]; labels: [U] int; row_mask: [U] float."""
+    picked = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32),
+                                 axis=1)[:, 0]
+    total = -jnp.sum(picked * row_mask)
+    return total / jnp.maximum(jnp.sum(row_mask), 1.0)
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
+    s = jnp.sum(x * mask, axis=axis)
+    c = jnp.sum(mask, axis=axis)
+    return s / jnp.maximum(c, 1.0)
+
+
+def unsup_loss_normal(embeddings: jax.Array, pos_p, pos_q, pos_mask,
+                      neg_p, neg_q, neg_mask, node_valid,
+                      q: float = 10.0) -> jax.Array:
+    """Negative-sampling objective (reference src/models.py:65-98).
+
+    Per node: score = mean_pos(−log σ(cos_pos)) − Q·mean_neg(log σ(−cos_neg));
+    loss = mean over valid nodes.  (The reference computes
+    mean(−pos_vec − neg_scalar) which equals mean(−pos_vec) − neg_scalar.)
+    """
+    pos_cos = pair_cosine(embeddings, pos_p, pos_q)      # [B, P]
+    neg_cos = pair_cosine(embeddings, neg_p, neg_q)      # [B, M]
+    pos_term = _masked_mean(-jax.nn.log_sigmoid(pos_cos), pos_mask, 1)
+    neg_term = q * _masked_mean(jax.nn.log_sigmoid(-neg_cos), neg_mask, 1)
+    per_node = pos_term - neg_term                       # [B]
+    return (jnp.sum(per_node * node_valid)
+            / jnp.maximum(jnp.sum(node_valid), 1.0))
+
+
+def unsup_loss_margin(embeddings: jax.Array, pos_p, pos_q, pos_mask,
+                      neg_p, neg_q, neg_mask, node_valid,
+                      margin: float = 3.0) -> jax.Array:
+    """Hinge objective (reference src/models.py:100-132).
+
+    Per node: relu(max_neg − min_pos + margin) with scores log σ(cos);
+    min over positives, max over negatives, masked slots excluded.
+    """
+    pos_s = jax.nn.log_sigmoid(pair_cosine(embeddings, pos_p, pos_q))
+    neg_s = jax.nn.log_sigmoid(pair_cosine(embeddings, neg_p, neg_q))
+    big = jnp.asarray(1e30, embeddings.dtype)
+    pos_min = jnp.min(jnp.where(pos_mask > 0, pos_s, big), axis=1)
+    neg_max = jnp.max(jnp.where(neg_mask > 0, neg_s, -big), axis=1)
+    per_node = jax.nn.relu(neg_max - pos_min + margin)
+    return (jnp.sum(per_node * node_valid)
+            / jnp.maximum(jnp.sum(node_valid), 1.0))
+
+
+def unsup_loss_from_pairbatch(embeddings: jax.Array, pb_tensors: dict,
+                              kind: str, q: float = 10.0,
+                              margin: float = 3.0) -> jax.Array:
+    """Dispatch helper over jnp-converted PairBatch fields
+    (reference dispatch src/utils.py:177-181)."""
+    args = (embeddings, pb_tensors["pos_p"], pb_tensors["pos_q"],
+            pb_tensors["pos_mask"], pb_tensors["neg_p"], pb_tensors["neg_q"],
+            pb_tensors["neg_mask"], pb_tensors["node_valid"])
+    if kind == "normal":
+        return unsup_loss_normal(*args, q=q)
+    if kind == "margin":
+        return unsup_loss_margin(*args, margin=margin)
+    raise ValueError("unsup_loss can be only 'margin' or 'normal'.")

@@ -1,0 +1,97 @@
+"""Device-side neighbor sampling — the TPU-scale streaming path.
+
+Replaces the reference's host Python set sampling (src/models.py:277-289)
+with pure `jax.random` tensor ops inside `jit`: for every frontier node,
+draw uniform keys over its padded adjacency row, push invalid slots to +inf,
+and `top_k` the smallest ``fanout`` keys — i.e. uniform sampling **without
+replacement**, with the degree<fanout take-all rule falling out of the mask.
+
+Unlike the compact host builder there is **no dedup**: each occurrence of a
+node samples independently and the computation tree is expanded densely
+([B] → [B·(K+1)] → [B·(K+1)²] …).  Every shape is static, nothing touches
+the host, and the whole train step (sampling included) compiles to one XLA
+program — the property that lets the step run back-to-back on TPU with
+zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.models.graphsage import Frontier
+
+
+def _sample_one_hop(key: jax.Array, neighbors: jax.Array, degrees: jax.Array,
+                    nodes: jax.Array, fanout: int):
+    """Sample ``fanout`` neighbors w/o replacement for each node.
+
+    neighbors: [N, P] padded adjacency, degrees: [N], nodes: [M].
+    Returns (samples [M, fanout] int32, valid [M, fanout] bool).
+    """
+    rows = jnp.take(neighbors, nodes, axis=0)          # [M, P]
+    deg = jnp.take(degrees, nodes, axis=0)             # [M]
+    m, p = rows.shape
+    keys = jax.random.uniform(key, (m, p))
+    slot = jnp.arange(p)[None, :]
+    keys = jnp.where(slot < deg[:, None], keys, jnp.inf)
+    if fanout < p:
+        _, picked = jax.lax.top_k(-keys, fanout)       # smallest keys
+        samples = jnp.take_along_axis(rows, picked, axis=1)
+    else:
+        # adjacency narrower than fanout: take the whole row
+        samples = jnp.pad(rows, ((0, 0), (0, fanout - p)))
+    valid = jnp.arange(fanout)[None, :] < jnp.minimum(deg, fanout)[:, None]
+    return samples.astype(jnp.int32), valid
+
+
+def sample_frontiers_dense(key: jax.Array, neighbors: jax.Array,
+                           degrees: jax.Array, batch: jax.Array,
+                           num_layers: int = 2, fanout: int = 10,
+                           gcn: bool = False):
+    """Expand a batch into dense per-occurrence frontiers.
+
+    Returns (x0_ids [B·(K+1)^L] int32, frontiers bottom-up list of Frontier)
+    ready for `graphsage_apply` after ``x0 = features[x0_ids]``.
+
+    Mask semantics match the reference's set dance (src/models.py:285,
+    297-298): the aggregation set is sample ∪ {self} minus self unless gcn;
+    sampled ids equal to self are masked so gcn mode never double-counts.
+    """
+    k = fanout
+    frontier_nodes = jnp.asarray(batch, dtype=jnp.int32)   # [M]
+    per_level_nodes = [frontier_nodes]
+    per_level_valid = []  # aggregation masks, top-down
+
+    keys = jax.random.split(key, num_layers)
+    for depth in range(num_layers):
+        nodes = per_level_nodes[-1]
+        samples, valid = _sample_one_hop(keys[depth], neighbors, degrees,
+                                         nodes, k)        # [M, K]
+        not_self = samples != nodes[:, None]
+        agg_valid = valid & not_self                       # neighbor slots
+        # child layout per node: [self, K samples] → flat [M*(K+1)]
+        children = jnp.concatenate([nodes[:, None], samples], axis=1)
+        per_level_valid.append(agg_valid)
+        per_level_nodes.append(children.reshape(-1))
+
+    x0_ids = per_level_nodes[-1]
+
+    frontiers = []
+    for depth in range(num_layers - 1, -1, -1):  # bottom-up
+        m = per_level_nodes[depth].shape[0]
+        base = jnp.arange(m, dtype=jnp.int32) * (k + 1)
+        self_idx = base                                    # child col 0
+        neigh_idx = base[:, None] + 1 + jnp.arange(k, dtype=jnp.int32)[None]
+        mask = per_level_valid[depth].astype(jnp.float32)
+        if gcn:
+            idx = jnp.concatenate([self_idx[:, None], neigh_idx], axis=1)
+            mask = jnp.concatenate(
+                [jnp.ones((m, 1), jnp.float32), mask], axis=1)
+        else:
+            idx = jnp.concatenate([self_idx[:, None], neigh_idx], axis=1)
+            mask = jnp.concatenate(
+                [jnp.zeros((m, 1), jnp.float32), mask], axis=1)
+        frontiers.append(Frontier(idx=idx, mask=mask, self_idx=self_idx))
+
+    return x0_ids, frontiers

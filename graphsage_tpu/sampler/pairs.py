@@ -1,0 +1,194 @@
+"""Positive/negative pair sampling for the unsupervised objectives.
+
+Reference semantics (src/models.py:45-186):
+- constants Q=10, N_WALKS=6, WALK_LEN=1, N_WALK_LEN=5, MARGIN=3
+  (src/models.py:49-53);
+- positives: N_WALKS random walks of WALK_LEN steps per node; a step landing
+  on a train node ≠ self records a (node, next) pair — duplicates included,
+  isolated nodes skipped (src/models.py:169-186);
+- negatives: nodes of the train set outside the node's ≤N_WALK_LEN-hop BFS
+  neighborhood, sampled without replacement (num_neg of them, or all if
+  fewer) (src/models.py:153-167);
+- the batch is *extended* to the union of all pair endpoints, for every
+  learn method (src/models.py:135-148, src/utils.py:149).
+
+TPU-first redesign: sampling stays on host (it is graph-topology-bound and
+amortized — closures are bit-packed and cached per node so each train node's
+BFS runs once per process, not once per epoch as in the reference), but the
+output is a fixed-shape `PairBatch` of index tensors into the padded
+extended batch, ready to feed a jit'd loss with zero recompilation across
+steps (union sizes are bucketed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from graphsage_tpu.data.graph import CSRGraph
+from graphsage_tpu.sampler.compact import _bucket
+
+
+@dataclasses.dataclass(frozen=True)
+class PairBatch:
+    """Fixed-shape pair tensors for one (extended) batch.
+
+    All index arrays point at rows of the extended-batch embedding matrix
+    (row order = ``unique_nodes``)."""
+    unique_nodes: np.ndarray   # int32 [U_pad]; first num_unique real
+    num_unique: int
+    target_rows: np.ndarray    # int32 [B] row of each original batch node
+    pos_p: np.ndarray          # int32 [B, P]
+    pos_q: np.ndarray          # int32 [B, P]
+    pos_mask: np.ndarray       # float32 [B, P]
+    neg_p: np.ndarray          # int32 [B, M]
+    neg_q: np.ndarray          # int32 [B, M]
+    neg_mask: np.ndarray       # float32 [B, M]
+    node_valid: np.ndarray     # float32 [B]  (≥1 pos and ≥1 neg pair)
+
+
+class PairSampler:
+    """Host-side walk/negative sampler with cached bit-packed BFS closures."""
+
+    def __init__(self, graph: CSRGraph, train_nodes: np.ndarray,
+                 q: int = 10, n_walks: int = 6, walk_len: int = 1,
+                 n_walk_len: int = 5, margin: float = 3.0):
+        self.graph = graph
+        self.q = q
+        self.n_walks = n_walks
+        self.walk_len = walk_len
+        self.n_walk_len = n_walk_len
+        self.margin = margin
+        self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
+        self.train_set = set(self.train_nodes.tolist())
+        self._closure_cache: dict[int, np.ndarray] = {}
+
+    # ---- BFS closure (reference src/models.py:154-162), bit-packed+cached
+    def _closure_bits(self, node: int) -> np.ndarray:
+        cached = self._closure_cache.get(node)
+        if cached is not None:
+            return cached
+        g = self.graph
+        n = g.num_nodes
+        visited = np.zeros(n, dtype=bool)
+        visited[node] = True
+        frontier = np.array([node], dtype=np.int64)
+        for _ in range(self.n_walk_len):
+            if frontier.size == 0:
+                break
+            starts = g.indptr[frontier]
+            ends = g.indptr[frontier + 1]
+            total = int((ends - starts).sum())
+            if total == 0:
+                break
+            nxt = g.indices[np.concatenate(
+                [np.arange(s, e) for s, e in zip(starts, ends)])]
+            nxt = np.unique(nxt)
+            new = nxt[~visited[nxt]]
+            visited[new] = True
+            frontier = new.astype(np.int64)
+        bits = np.packbits(visited)
+        self._closure_cache[node] = bits
+        return bits
+
+    def negatives(self, node: int, num_neg: int,
+                  rng: np.random.RandomState) -> np.ndarray:
+        """train_nodes − ≤n_walk_len-hop neighborhood, sampled w/o
+        replacement (reference src/models.py:163-166)."""
+        close = np.unpackbits(self._closure_bits(node),
+                              count=self.graph.num_nodes).astype(bool)
+        far = self.train_nodes[~close[self.train_nodes]]
+        if num_neg < len(far):
+            return rng.choice(far, size=num_neg, replace=False)
+        return far
+
+    def positives(self, node: int, rng: np.random.RandomState) -> list[int]:
+        """Random-walk co-occurrences (reference src/models.py:169-186):
+        n_walks walks of walk_len uniform steps; every step landing on a
+        train node ≠ start records a pair.  Duplicates kept."""
+        g = self.graph
+        if len(g.neighbors(node)) == 0:
+            return []
+        out = []
+        for _ in range(self.n_walks):
+            curr = node
+            for _ in range(self.walk_len):
+                neigh = g.neighbors(curr)
+                if len(neigh) == 0:
+                    break
+                nxt = int(neigh[rng.randint(len(neigh))])
+                if nxt != node and nxt in self.train_set:
+                    out.append(nxt)
+                curr = nxt
+        return out
+
+    # ---- batch extension + tensorization (reference src/models.py:135-148)
+    def sample_batch(self, batch_nodes: np.ndarray, num_neg: int,
+                     rng: np.random.RandomState) -> PairBatch:
+        batch_nodes = np.asarray(batch_nodes, dtype=np.int64)
+        b = len(batch_nodes)
+        pos_lists = [self.positives(int(v), rng) for v in batch_nodes]
+        neg_lists = [self.negatives(int(v), num_neg, rng)
+                     for v in batch_nodes]
+
+        # extended batch = union of endpoints, first-seen order; targets are
+        # endpoints of their own pairs, and are force-included even when a
+        # node has no pairs at all so target_rows stays well-defined.
+        unique: list[int] = []
+        pos_map: dict[int, int] = {}
+
+        def row(n: int) -> int:
+            r = pos_map.get(n)
+            if r is None:
+                r = len(unique)
+                pos_map[n] = r
+                unique.append(n)
+            return r
+
+        for v in batch_nodes:
+            row(int(v))
+        for v, plist in zip(batch_nodes, pos_lists):
+            for p in plist:
+                row(int(p))
+        for v, nlist in zip(batch_nodes, neg_lists):
+            for ng in nlist:
+                row(int(ng))
+
+        u_pad = _bucket(len(unique))
+        unique_arr = np.zeros(u_pad, dtype=np.int32)
+        unique_arr[:len(unique)] = unique
+
+        p_max = max(1, self.n_walks * self.walk_len)
+        m_max = max(1, num_neg)
+        pos_p = np.zeros((b, p_max), np.int32)
+        pos_q = np.zeros((b, p_max), np.int32)
+        pos_mask = np.zeros((b, p_max), np.float32)
+        neg_p = np.zeros((b, m_max), np.int32)
+        neg_q = np.zeros((b, m_max), np.int32)
+        neg_mask = np.zeros((b, m_max), np.float32)
+        node_valid = np.zeros(b, np.float32)
+        target_rows = np.array([pos_map[int(v)] for v in batch_nodes],
+                               dtype=np.int32)
+
+        for i, (v, plist, nlist) in enumerate(
+                zip(batch_nodes, pos_lists, neg_lists)):
+            vr = pos_map[int(v)]
+            for j, p in enumerate(plist[:p_max]):
+                pos_p[i, j] = vr
+                pos_q[i, j] = pos_map[int(p)]
+                pos_mask[i, j] = 1.0
+            for j, ng in enumerate(nlist[:m_max]):
+                neg_p[i, j] = vr
+                neg_q[i, j] = pos_map[int(ng)]
+                neg_mask[i, j] = 1.0
+            # loss skips nodes lacking either side (src/models.py:75-76)
+            node_valid[i] = float(len(plist) > 0 and len(nlist) > 0)
+
+        return PairBatch(
+            unique_nodes=unique_arr, num_unique=len(unique),
+            target_rows=target_rows,
+            pos_p=pos_p, pos_q=pos_q, pos_mask=pos_mask,
+            neg_p=neg_p, neg_q=neg_q, neg_mask=neg_mask,
+            node_valid=node_valid,
+        )

@@ -1,0 +1,98 @@
+"""Data layer: CSR construction, padded compile, loaders, splits.
+
+Invariants mirrored from the reference's runtime asserts
+(src/dataCenter.py:37,43,88) and documented dataset stats (cora/README)."""
+
+import numpy as np
+import pytest
+
+from graphsage_tpu.data import (
+    CSRGraph,
+    load_cora,
+    load_pubmed,
+    split_nodes,
+    synthetic_power_law,
+)
+
+
+def test_csr_from_edges_undirected_dedup():
+    # duplicate edge (0,1) + both directions given explicitly must dedup
+    src = np.array([0, 1, 0, 2])
+    dst = np.array([1, 0, 1, 0])
+    g = CSRGraph.from_edges(3, src, dst)
+    assert g.num_edges == 4  # (0,1),(1,0),(0,2),(2,0)
+    assert list(g.neighbors(0)) == [1, 2]
+    assert list(g.neighbors(1)) == [0]
+    assert list(g.neighbors(2)) == [0]
+
+
+def test_csr_keeps_self_loops():
+    g = CSRGraph.from_edges(2, np.array([0]), np.array([0]))
+    assert list(g.neighbors(0)) == [0]
+
+
+def test_padded_adjacency_roundtrip():
+    src = np.array([0, 0, 0, 1])
+    dst = np.array([1, 2, 3, 2])
+    g = CSRGraph.from_edges(4, src, dst)
+    pad = g.to_padded()
+    assert pad.width == 3  # node 0 has degree 3
+    np.testing.assert_array_equal(pad.degrees, g.degrees)
+    for v in range(4):
+        np.testing.assert_array_equal(
+            np.sort(pad.neighbors[v, :pad.degrees[v]]), g.neighbors(v))
+    assert not pad.truncated
+
+
+def test_padded_adjacency_cap():
+    g = CSRGraph.from_edges(4, np.array([0, 0, 0]), np.array([1, 2, 3]))
+    pad = g.to_padded(cap=2)
+    assert pad.width == 2
+    assert pad.degrees[0] == 2
+    assert pad.true_degrees[0] == 3
+    assert pad.truncated
+
+
+def test_split_reference_semantics():
+    # reference src/dataCenter.py:100-111: test=N//3, val=N//6, train=rest,
+    # taken from one seeded permutation
+    test, val, train = split_nodes(2708, seed=824)
+    assert len(test) == 2708 // 3
+    assert len(val) == 2708 // 6
+    assert len(train) == 2708 - len(test) - len(val)
+    allv = np.concatenate([test, val, train])
+    assert len(np.unique(allv)) == 2708
+    # deterministic
+    test2, _, _ = split_nodes(2708, seed=824)
+    np.testing.assert_array_equal(test, test2)
+
+
+def test_load_cora_real_graph():
+    ds = load_cora()
+    # cora/README: 2708 nodes; cites file has 5429 edges → ≤ 2*5429 directed
+    assert ds.num_nodes == 2708
+    assert ds.feature_dim == 1433
+    assert ds.num_classes == 7
+    assert 2 * 5000 < ds.graph.num_edges <= 2 * 5429
+    assert ds.labels.min() >= 0 and ds.labels.max() < 7
+    deg = ds.graph.degrees
+    assert deg.min() >= 1  # every node appears in the cites file
+
+
+def test_load_pubmed_real_graph():
+    ds = load_pubmed()
+    assert ds.num_classes == 3
+    assert ds.feature_dim == 500
+    assert ds.graph.num_edges > 80000  # 44338 undirected-ized, minus dups
+    assert ds.num_nodes > 19000
+
+
+def test_synthetic_power_law():
+    ds = synthetic_power_law(1000, 5000, num_feats=32, num_classes=4, seed=1)
+    assert ds.num_nodes == 1000
+    deg = ds.graph.degrees
+    # power-law: max degree far above median
+    assert deg.max() > 10 * max(1, np.median(deg))
+    # deterministic
+    ds2 = synthetic_power_law(1000, 5000, num_feats=32, num_classes=4, seed=1)
+    np.testing.assert_array_equal(ds.graph.indices, ds2.graph.indices)
