@@ -1,0 +1,138 @@
+"""Command-line entry point.
+
+Flag-compatible with the reference CLI (reference src/main.py:12-27):
+``--dataSet --agg_func --epochs --b_sz --seed --gcn --learn_method
+--unsup_loss --max_vali_f1 --name --config`` all behave the same
+(``--cuda`` is accepted and ignored — device selection is JAX's; the TPU
+backend is used automatically when present).  New flags cover the
+framework's extra surface: fanout, checkpointing/resume, strict eval.
+
+Usage:  python -m graphsage_tpu.cli --dataSet cora --epochs 50 --b_sz 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native GraphSAGE (graphsage_tpu)")
+    # reference-compatible flags (src/main.py:14-26)
+    p.add_argument("--dataSet", type=str, default="cora")
+    p.add_argument("--agg_func", type=str, default="MEAN",
+                   choices=["MEAN", "MAX", "LSTM"])
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--b_sz", type=int, default=20)
+    p.add_argument("--seed", type=int, default=824)
+    p.add_argument("--cuda", action="store_true",
+                   help="accepted for CLI compatibility; ignored "
+                        "(JAX selects the TPU backend automatically)")
+    p.add_argument("--gcn", action="store_true")
+    p.add_argument("--learn_method", type=str, default="sup",
+                   choices=["sup", "unsup", "plus_unsup"])
+    p.add_argument("--unsup_loss", type=str, default="normal",
+                   choices=["normal", "margin"])
+    p.add_argument("--max_vali_f1", type=float, default=0)
+    p.add_argument("--name", type=str, default="debug")
+    p.add_argument("--config", type=str, default=None,
+                   help="HOCON experiment file (reference-compatible)")
+    # framework flags
+    p.add_argument("--fanout", type=int, default=10)
+    p.add_argument("--num_layers", type=int, default=None,
+                   help="override config setting.num_layers")
+    p.add_argument("--hidden", type=int, default=None,
+                   help="override config setting.hidden_emb_size")
+    p.add_argument("--lr", type=float, default=0.7)
+    p.add_argument("--clf_epochs", type=int, default=800)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume from")
+    p.add_argument("--strict_clf_eval", action="store_true")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="dataset directory override")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from graphsage_tpu.data import load_dataset
+    from graphsage_tpu.models import GraphSageConfig
+    from graphsage_tpu.train import Trainer, TrainConfig
+    from graphsage_tpu.utils.config import load_config
+
+    num_layers, hidden = 2, 128  # reference src/experiments.conf:11-12
+    if args.config:
+        cfg = load_config(args.config)
+        num_layers = cfg.get("setting.num_layers", num_layers)
+        hidden = cfg.get("setting.hidden_emb_size", hidden)
+    if args.num_layers is not None:
+        num_layers = args.num_layers
+    if args.hidden is not None:
+        hidden = args.hidden
+
+    kw = {"root": args.data_root} if args.data_root else {}
+    ds = load_dataset(args.dataSet, seed=args.seed, **kw)
+    if ds.synthetic_features and not args.quiet:
+        print(f"NOTE: content file for {ds.name} absent from mount; "
+              "using synthesized features over the real graph")
+
+    mcfg = GraphSageConfig(num_layers=num_layers, input_size=ds.feature_dim,
+                           out_size=hidden, gcn=args.gcn,
+                           agg_func=args.agg_func)
+    tcfg = TrainConfig(
+        learn_method=args.learn_method, unsup_loss=args.unsup_loss,
+        b_sz=args.b_sz, epochs=args.epochs, lr=args.lr, seed=args.seed,
+        fanout=args.fanout, clf_epochs=args.clf_epochs,
+        strict_clf_eval=args.strict_clf_eval, verbose=not args.quiet)
+
+    def checkpoint_fn(trainer, test_f1):
+        from graphsage_tpu.utils.checkpoint import save_checkpoint
+        path = os.path.join(
+            args.checkpoint_dir,
+            f"model_best_{args.name}_ep{trainer.epoch}_{test_f1:.4f}")
+        try:
+            save_checkpoint(path, trainer.params, trainer.epoch,
+                            trainer.max_vali_f1, trainer.rng)
+            if not args.quiet:
+                print(f"checkpointed {path}")
+        except Exception as e:  # keep training if checkpointing fails
+            print(f"checkpoint failed: {e}")
+
+    trainer = Trainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn)
+    trainer.max_vali_f1 = args.max_vali_f1
+
+    if args.resume:
+        from graphsage_tpu.utils.checkpoint import restore_checkpoint
+        params, epoch, best, rng = restore_checkpoint(args.resume,
+                                                      trainer.params)
+        import jax.numpy as jnp
+        import jax
+        trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
+        trainer.epoch = epoch
+        trainer.max_vali_f1 = best
+        trainer.rng = rng
+        if not args.quiet:
+            print(f"resumed from {args.resume} at epoch {epoch}, "
+                  f"best val F1 {best:.4f}")
+
+    if args.learn_method == "sup":
+        print("GraphSage with Supervised Learning")
+    elif args.learn_method == "plus_unsup":
+        print("GraphSage with Supervised Learning plus Net Unsupervised "
+              "Learning")
+    else:
+        print("GraphSage with Net Unsupervised Learning")
+
+    trainer.fit()
+    print(f"Best validation F1: {trainer.max_vali_f1:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""Dense fully-on-device training pipeline — the TPU-scale path.
+
+The compact trainer (train/trainer.py) mirrors the reference's host-driven
+protocol for parity.  This module is the performance pipeline: sampling,
+feature gather, L-layer encode, loss, grad, clip, and SGD are ONE jit'd XLA
+program with static shapes; nothing returns to the host between steps.  Under
+a `Mesh` the same program runs SPMD: the batch is sharded over the ``data``
+axis and XLA inserts the gradient all-reduce; weights may additionally be
+sharded over ``model`` (see parallel/mesh.py).
+
+Replaces the per-batch host work of the reference (sampling
+src/models.py:277-289, mask building :305-308, pair bookkeeping :135-148)
+with `jax.random` tensor sampling (sampler/device.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.losses import supervised_nll
+from graphsage_tpu.models import (
+    GraphSageConfig,
+    classifier_apply,
+    graphsage_apply,
+)
+from graphsage_tpu.sampler.device import sample_frontiers_dense
+from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
+
+
+def dense_forward(params, mcfg: GraphSageConfig, feats, neighbors, degrees,
+                  batch, key, fanout: int = 10):
+    """Sampling + encode for a batch of node ids: [B] -> [B, out_size]."""
+    x0_ids, frontiers = sample_frontiers_dense(
+        key, neighbors, degrees, batch, num_layers=mcfg.num_layers,
+        fanout=fanout, gcn=mcfg.gcn)
+    x0 = jnp.take(feats, x0_ids, axis=0)
+    return graphsage_apply(params["sage"], mcfg, x0, frontiers)
+
+
+def make_dense_sup_step(mcfg: GraphSageConfig, fanout: int = 10,
+                        lr: float = 0.7, clip: float = 5.0):
+    """Supervised train step: returns step(params, feats, neighbors,
+    degrees, batch, labels, key) -> (params, loss).  jit it (optionally with
+    shardings) at the call site."""
+
+    def step(params, feats, neighbors, degrees, batch, labels, key):
+        def loss_fn(p):
+            embs = dense_forward(p, mcfg, feats, neighbors, degrees,
+                                 batch, key, fanout)
+            logp = classifier_apply(p["clf"], embs)
+            mask = jnp.ones(batch.shape[0], dtype=embs.dtype)
+            return supervised_nll(logp, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+        return sgd_update(params, grads, lr), loss
+
+    return step
+
+
+def edges_per_batch(batch_size: int, num_layers: int, fanout: int) -> int:
+    """Aggregation edges processed per dense batch: each frontier node at
+    depth d aggregates ≤ fanout neighbors; frontier sizes are
+    B·(fanout+1)^d.  Upper-bound (full-degree) count, the unit for the
+    edges/s benchmark."""
+    total = 0
+    width = batch_size
+    for _ in range(num_layers):
+        total += width * fanout
+        width *= fanout + 1
+    return total

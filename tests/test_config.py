@@ -1,0 +1,64 @@
+"""HOCON-lite parser + CLI parser surface."""
+
+import os
+
+import pytest
+
+from graphsage_tpu.utils.config import parse_hocon, load_config
+
+SAMPLE = """
+file_path {
+\tworkdir = ./data/
+\tcora_content = ${file_path.workdir}cora/cora.content
+\tcora_cite = ${file_path.workdir}cora/cora.cites
+}
+
+// comment
+setting {
+\tnum_layers = 2
+\thidden_emb_size = 128
+}
+"""
+
+
+def test_parse_hocon_subset():
+    cfg = parse_hocon(SAMPLE)
+    assert cfg["setting.num_layers"] == 2
+    assert cfg["setting.hidden_emb_size"] == 128
+    assert cfg["file_path.cora_content"] == "./data/cora/cora.content"
+    assert cfg["file_path.cora_cite"] == "./data/cora/cora.cites"
+    assert "setting.num_layers" in cfg
+
+
+def test_parse_reference_conf_if_present():
+    path = "/root/reference/src/experiments.conf"
+    if not os.path.exists(path):
+        pytest.skip("reference mount absent")
+    cfg = load_config(path)
+    assert cfg["setting.num_layers"] == 2
+    assert cfg["setting.hidden_emb_size"] == 128
+    assert cfg["file_path.pubmed_cites"].endswith(
+        "pubmed-data/Pubmed-Diabetes.DIRECTED.cites.tab")
+
+
+def test_bad_hocon_raises():
+    with pytest.raises(ValueError):
+        parse_hocon("setting {\nnum_layers = 2\n")  # unclosed
+    with pytest.raises(ValueError):
+        parse_hocon("}\n")
+
+
+def test_cli_parser_reference_flags():
+    from graphsage_tpu.cli import build_parser
+    p = build_parser()
+    a = p.parse_args(["--dataSet", "cora", "--agg_func", "MEAN",
+                      "--epochs", "50", "--b_sz", "20", "--seed", "824",
+                      "--gcn", "--learn_method", "sup",
+                      "--unsup_loss", "normal", "--max_vali_f1", "0",
+                      "--name", "debug", "--cuda"])
+    assert a.dataSet == "cora" and a.seed == 824 and a.gcn
+    # defaults match the reference's (src/main.py:14-26)
+    d = p.parse_args([])
+    assert (d.agg_func, d.epochs, d.b_sz, d.seed) == ("MEAN", 50, 20, 824)
+    assert (d.learn_method, d.unsup_loss, d.name) == ("sup", "normal",
+                                                      "debug")

@@ -1,0 +1,80 @@
+"""Pair sampler semantics (reference src/models.py:135-186)."""
+
+import numpy as np
+import pytest
+
+from graphsage_tpu.data import CSRGraph
+from graphsage_tpu.sampler import PairSampler
+
+
+def line_graph(n):
+    src = np.arange(n - 1)
+    return CSRGraph.from_edges(n, src, src + 1)
+
+
+def test_negatives_exclude_5hop_neighborhood():
+    n = 30
+    g = line_graph(n)
+    train = np.arange(n)
+    ps = PairSampler(g, train)
+    rng = np.random.RandomState(0)
+    negs = ps.negatives(0, num_neg=100, rng=rng)
+    # nodes 0..5 are within 5 hops of node 0 on a line
+    assert set(negs.tolist()) == set(range(6, n))
+
+
+def test_negatives_sample_without_replacement():
+    g = line_graph(50)
+    ps = PairSampler(g, np.arange(50))
+    rng = np.random.RandomState(0)
+    negs = ps.negatives(0, num_neg=10, rng=rng)
+    assert len(negs) == 10
+    assert len(set(negs.tolist())) == 10
+    assert all(int(x) > 5 for x in negs)
+
+
+def test_positives_are_train_neighbors_not_self():
+    g = line_graph(10)
+    train = np.array([0, 1, 2, 3])
+    ps = PairSampler(g, train)
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        pos = ps.positives(2, rng)
+        for p in pos:
+            assert p in (1, 3)  # WALK_LEN=1 → direct neighbors only
+            assert p != 2
+
+
+def test_positives_isolated_node_skipped():
+    g = CSRGraph.from_edges(3, np.array([0]), np.array([1]))
+    ps = PairSampler(g, np.arange(3))
+    assert ps.positives(2, np.random.RandomState(0)) == []
+
+
+def test_sample_batch_shapes_and_union():
+    rng = np.random.RandomState(1)
+    n = 40
+    src = rng.randint(0, n, 120)
+    dst = rng.randint(0, n, 120)
+    keep = src != dst
+    g = CSRGraph.from_edges(n, src[keep], dst[keep])
+    train = np.arange(n)
+    ps = PairSampler(g, train)
+    batch = np.array([3, 7, 11])
+    pb = ps.sample_batch(batch, num_neg=6, rng=rng)
+
+    # targets present, rows correct
+    for i, v in enumerate(batch):
+        assert pb.unique_nodes[pb.target_rows[i]] == v
+    # pair endpoints index real rows
+    for arr, mask in [(pb.pos_q, pb.pos_mask), (pb.neg_q, pb.neg_mask)]:
+        assert (arr[mask > 0] < pb.num_unique).all()
+    # padded to bucket
+    u = len(pb.unique_nodes)
+    assert u & (u - 1) == 0
+    # negatives not within 5 hops: spot-check membership sets
+    for i, v in enumerate(batch):
+        close = np.unpackbits(ps._closure_bits(int(v)), count=n).astype(bool)
+        for j in range(pb.neg_q.shape[1]):
+            if pb.neg_mask[i, j] > 0:
+                assert not close[pb.unique_nodes[pb.neg_q[i, j]]]
