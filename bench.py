@@ -1,0 +1,89 @@
+"""Headline benchmark: aggregation-engine training throughput, edges/s/chip.
+
+Workload (BASELINE.json north star, config-1 shape): supervised GraphSAGE
+train step — neighbor sampling, 2-layer MEAN aggregation fwd+bwd, NLL,
+per-model clip, SGD — on the real Cora graph (1433-dim features), fanout 10.
+The dense device pipeline runs the whole step as one jit'd XLA program.
+
+Baseline: the reference implementation (torch CPU, same machine class)
+measured at 409,565 edges/s steady-state (batch 512; it is host-bound and
+flat in batch size — 407,913 edges/s at its default batch 20).  See
+BASELINE.md "measured" rows; tools/measure_reference.py reproduces it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EDGES_PER_SEC = 409_565.0  # torch-CPU reference, measured
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.data import load_cora
+    from graphsage_tpu.models import GraphSageConfig, init_graphsage
+    from graphsage_tpu.models.layers import init_classifier
+    from graphsage_tpu.train.dense import edges_per_batch, make_dense_sup_step
+
+    batch_size = 512
+    fanout = 10
+    ds = load_cora()
+    pad = ds.graph.to_padded()
+
+    mcfg = GraphSageConfig(num_layers=2, input_size=ds.feature_dim,
+                           out_size=128)
+    key = jax.random.PRNGKey(824)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "sage": init_graphsage(k1, mcfg),
+        "clf": init_classifier(k2, mcfg.out_size, ds.num_classes),
+    }
+    feats = jnp.asarray(ds.features)
+    neighbors = jnp.asarray(pad.neighbors)
+    degrees = jnp.asarray(pad.degrees)
+    labels_all = jnp.asarray(ds.labels.astype(np.int32))
+
+    raw_step = make_dense_sup_step(mcfg, fanout=fanout)
+
+    @jax.jit
+    def step(params, batch, step_idx):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), step_idx)
+        labels = jnp.take(labels_all, batch, axis=0)
+        return raw_step(params, feats, neighbors, degrees, batch, labels,
+                        key)
+
+    rng = np.random.RandomState(0)
+    batches = jnp.asarray(
+        rng.randint(0, ds.num_nodes, size=(64, batch_size)).astype(np.int32))
+
+    # warmup + compile
+    for i in range(3):
+        params, loss = step(params, batches[i % 64], jnp.int32(i))
+    jax.block_until_ready(loss)
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, loss = step(params, batches[i % 64], jnp.int32(i + 3))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_steps
+
+    edges = edges_per_batch(batch_size, mcfg.num_layers, fanout)
+    eps = edges / dt
+    print(json.dumps({
+        "metric": "edges_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps / REFERENCE_EDGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
