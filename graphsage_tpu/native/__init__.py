@@ -1,0 +1,13 @@
+from graphsage_tpu.native.engine import (
+    available,
+    build_compact_batch_native,
+    bfs_closure_native,
+    sample_fanout_native,
+)
+
+__all__ = [
+    "available",
+    "build_compact_batch_native",
+    "bfs_closure_native",
+    "sample_fanout_native",
+]

@@ -37,6 +37,48 @@ def _bucket(n: int, minimum: int = 32) -> int:
     return b
 
 
+def _build_compact_batch_native(graph: CSRGraph, batch_nodes: np.ndarray,
+                                rng: np.random.RandomState, num_layers: int,
+                                fanout: int, gcn: bool):
+    """C++ fast path: build at worst-case caps, then slice down to bucket
+    sizes.  Returns None when the native engine is unavailable."""
+    try:
+        from graphsage_tpu.native import build_compact_batch_native
+    except Exception:
+        return None
+
+    b = len(batch_nodes)
+    u_caps = np.zeros(num_layers + 1, dtype=np.int32)
+    cap = b
+    for d in range(num_layers + 1):
+        # bucketed caps guarantee bucket(actual_size) <= cap, so the
+        # post-build slice-down is always within the filled buffers
+        u_caps[d] = _bucket(min(graph.num_nodes + b, cap))
+        cap *= fanout + 1
+    seed = int(rng.randint(0, 2**63 - 1))
+    out = build_compact_batch_native(
+        graph.indptr, graph.indices, graph.num_nodes,
+        batch_nodes.astype(np.int32), num_layers, fanout, gcn, seed, u_caps)
+    if out is None:
+        return None
+    union_sizes, x0_ids_full, layers = out
+
+    frontiers = []
+    for j, (idx, mask, self_idx) in enumerate(layers):
+        level = num_layers - 1 - j
+        u = _bucket(int(union_sizes[level]))
+        frontiers.append(Frontier(idx=np.ascontiguousarray(idx[:u]),
+                                  mask=np.ascontiguousarray(mask[:u]),
+                                  self_idx=np.ascontiguousarray(
+                                      self_idx[:u])))
+    u0 = _bucket(int(union_sizes[num_layers]))
+    x0_ids = np.ascontiguousarray(x0_ids_full[:u0])
+    return CompactBatch(
+        x0_ids=x0_ids, frontiers=tuple(frontiers),
+        batch_nodes=batch_nodes.astype(np.int32), batch_size=b,
+        out_rows=frontiers[-1].idx.shape[0])
+
+
 @dataclasses.dataclass(frozen=True)
 class CompactBatch:
     """Device-ready sampled computation graph for one batch."""
@@ -68,14 +110,26 @@ def build_compact_batch(graph: CSRGraph, batch_nodes: np.ndarray,
                         rng: np.random.RandomState, num_layers: int = 2,
                         fanout: int = 10, gcn: bool = False,
                         sample_sets: list[list[set]] | None = None,
-                        bucket: bool = True) -> CompactBatch:
+                        bucket: bool = True,
+                        native: str = "auto") -> CompactBatch:
     """Build per-layer padded frontiers for a batch.
 
     sample_sets, when given, is a list (top-down: entry 0 belongs to the
     batch layer) of per-node sample sets *including self*, used verbatim
     instead of fresh sampling — the parity-replay hook.
+
+    native: "auto" uses the C++ engine (csrc/gs_native.cpp) when built —
+    ~100x faster frontier construction, its own deterministic RNG stream
+    seeded from ``rng``; "never" forces the numpy path (used by parity
+    replay and as fallback).
     """
     batch_nodes = np.asarray(batch_nodes, dtype=np.int64)
+
+    if native == "auto" and sample_sets is None and bucket:
+        cb = _build_compact_batch_native(graph, batch_nodes, rng,
+                                         num_layers, fanout, gcn)
+        if cb is not None:
+            return cb
 
     # --- top-down sampling: build union lists (reference src/models.py:246-253)
     levels: list[dict] = [{"nodes": batch_nodes.tolist(), "samp": None}]

@@ -70,6 +70,15 @@ class PairSampler:
         if cached is not None:
             return cached
         g = self.graph
+        try:
+            from graphsage_tpu.native import bfs_closure_native
+            bits = bfs_closure_native(g.indptr, g.indices, g.num_nodes,
+                                      node, self.n_walk_len)
+        except Exception:
+            bits = None
+        if bits is not None:
+            self._closure_cache[node] = bits
+            return bits
         n = g.num_nodes
         visited = np.zeros(n, dtype=bool)
         visited[node] = True

@@ -25,8 +25,8 @@ from graphsage_tpu.losses import supervised_nll
 from graphsage_tpu.models import (
     GraphSageConfig,
     classifier_apply,
-    graphsage_apply,
 )
+from graphsage_tpu.models.graphsage import graphsage_apply_gathered
 from graphsage_tpu.sampler.device import sample_frontiers_dense
 from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 
@@ -37,8 +37,8 @@ def dense_forward(params, mcfg: GraphSageConfig, feats, neighbors, degrees,
     x0_ids, frontiers = sample_frontiers_dense(
         key, neighbors, degrees, batch, num_layers=mcfg.num_layers,
         fanout=fanout, gcn=mcfg.gcn)
-    x0 = jnp.take(feats, x0_ids, axis=0)
-    return graphsage_apply(params["sage"], mcfg, x0, frontiers)
+    return graphsage_apply_gathered(params["sage"], mcfg, feats, x0_ids,
+                                    frontiers)
 
 
 def make_dense_sup_step(mcfg: GraphSageConfig, fanout: int = 10,

@@ -96,12 +96,19 @@ class Trainer:
         self.checkpoint_fn = checkpoint_fn
 
         key = jax.random.PRNGKey(train_cfg.seed)
-        k_sage, k_clf = jax.random.split(key)
-        self.params = {
-            "sage": init_graphsage(k_sage, model_cfg),
-            "clf": init_classifier(k_clf, model_cfg.out_size,
-                                   dataset.num_classes),
-        }
+
+        # one jitted init program instead of ~10 eager ops: on remote-compile
+        # TPU backends each eager op costs a compile round-trip
+        @jax.jit
+        def _init(key):
+            k_sage, k_clf = jax.random.split(key)
+            return {
+                "sage": init_graphsage(k_sage, model_cfg),
+                "clf": init_classifier(k_clf, model_cfg.out_size,
+                                       dataset.num_classes),
+            }
+
+        self.params = _init(key)
         self.feats = jnp.asarray(dataset.features)
         self.labels_np = np.asarray(dataset.labels)
         self.rng = np.random.RandomState(train_cfg.seed)
@@ -116,8 +123,9 @@ class Trainer:
 
     # ------------------------------------------------------------------ jit
     def _embed_impl(self, sage_params, x0_ids, frontiers):
-        x0 = jnp.take(self.feats, x0_ids, axis=0)
-        return graphsage_apply(sage_params, self.mcfg, x0, frontiers)
+        from graphsage_tpu.models.graphsage import graphsage_apply_gathered
+        return graphsage_apply_gathered(sage_params, self.mcfg, self.feats,
+                                        x0_ids, frontiers)
 
     def _build_step_fn(self):
         mcfg, tcfg = self.mcfg, self.tcfg
@@ -125,8 +133,11 @@ class Trainer:
         @jax.jit
         def step(params, x0_ids, frontiers, labels, row_mask, pairs):
             def loss_fn(p):
-                x0 = jnp.take(self.feats, x0_ids, axis=0)
-                embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
+                from graphsage_tpu.models.graphsage import (
+                    graphsage_apply_gathered,
+                )
+                embs = graphsage_apply_gathered(p["sage"], mcfg, self.feats,
+                                                x0_ids, frontiers)
                 if tcfg.learn_method in ("sup", "plus_unsup"):
                     logp = classifier_apply(p["clf"], embs)
                     loss_sup = supervised_nll(logp, labels, row_mask)

@@ -61,8 +61,14 @@ def restore_checkpoint(path: str, params_like):
     the pytree structure/shapes (from a fresh init)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
+    # Only structure/shape/dtype are needed for the restore target — build
+    # it host-side so restore never blocks on device transfers (on a remote
+    # TPU backend, fetching freshly-initialized params can stall behind
+    # queued eager compiles).
+    abstract = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype), params_like)
     target = {
-        "params": jax.device_get(params_like),
+        "params": abstract,
         "epoch": np.asarray([0], dtype=np.int64),
         "max_vali_f1": np.asarray([0.0], dtype=np.float64),
         "rng": _rng_state_to_tree(np.random.RandomState(0).get_state()),
