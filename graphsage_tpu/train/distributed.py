@@ -1,0 +1,198 @@
+"""Distributed training: edge-partitioned features, halo exchange, DP grads.
+
+The BASELINE config-5 workload (synthetic 10M-edge power-law graph over
+N ≥ 2 hosts) is feature-dominated: the [N, D] feature table is the object
+that must be partitioned, while int32 adjacency is ~D/P times smaller and
+stays replicated.  Design (SURVEY §2b graph-partitioner row):
+
+- nodes are partitioned into contiguous ranges over the mesh ``data`` axis;
+  the feature table is sharded row-wise (parallel/halo.py);
+- each device trains on its own batch shard; neighbor sampling runs on host
+  through the native C++ engine (fast, prefetchable) producing the same
+  dense per-occurrence frontier layout as sampler/device.py;
+- layer-0 feature rows are fetched with the two-phase all_to_all halo
+  exchange; everything after the gather is device-local;
+- gradients are `pmean`'d over the data axis inside the same shard_map —
+  XLA compiles the collectives onto ICI.
+
+The whole device step (halo + encode + loss + grad + psum + clip + SGD) is
+one jit'd SPMD program; the host contributes only index tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from graphsage_tpu.data.graph import CSRGraph
+from graphsage_tpu.losses import supervised_nll
+from graphsage_tpu.models import GraphSageConfig, classifier_apply
+from graphsage_tpu.models.graphsage import Frontier, graphsage_apply
+from graphsage_tpu.parallel.halo import HaloPlan, halo_gather_local, plan_halo
+from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
+
+
+# --------------------------------------------------------------------- host
+def sample_dense_host(graph: CSRGraph, batch: np.ndarray, num_layers: int,
+                      fanout: int, seed: int, gcn: bool = False):
+    """Host-side dense per-occurrence frontier expansion (same layout as
+    sampler/device.py) using the native C++ fanout sampler with numpy
+    fallback.  batch: [M0] node ids.  Returns (x0_ids [M0·(K+1)^L],
+    frontiers bottom-up list of numpy Frontier)."""
+    try:
+        from graphsage_tpu.native import sample_fanout_native
+    except Exception:
+        sample_fanout_native = None
+    k = fanout
+    level_nodes = [np.asarray(batch, dtype=np.int32)]
+    level_valid = []
+    rng = np.random.RandomState(seed & 0x7fffffff)
+    for depth in range(num_layers):
+        nodes = level_nodes[-1]
+        res = (sample_fanout_native(graph.indptr, graph.indices,
+                                    graph.num_nodes, nodes, k,
+                                    seed + depth * 1000003)
+               if sample_fanout_native else None)
+        if res is not None:
+            samples, counts = res
+        else:
+            samples = np.zeros((len(nodes), k), np.int32)
+            counts = np.zeros(len(nodes), np.int32)
+            for i, v in enumerate(nodes):
+                neigh = graph.neighbors(int(v))
+                c = min(len(neigh), k)
+                counts[i] = c
+                if len(neigh) <= k:
+                    samples[i, :c] = neigh
+                else:
+                    samples[i, :c] = rng.choice(neigh, k, replace=False)
+        valid = (np.arange(k)[None, :] < counts[:, None])
+        valid &= samples != nodes[:, None]
+        children = np.concatenate([nodes[:, None], samples], axis=1)
+        level_valid.append(valid.astype(np.float32))
+        level_nodes.append(children.reshape(-1))
+
+    x0_ids = level_nodes[-1]
+    frontiers = []
+    for depth in range(num_layers - 1, -1, -1):
+        m = len(level_nodes[depth])
+        base = (np.arange(m, dtype=np.int32) * (k + 1))
+        neigh_idx = base[:, None] + 1 + np.arange(k, dtype=np.int32)[None]
+        idx = np.concatenate([base[:, None], neigh_idx], axis=1)
+        mask = np.concatenate(
+            [np.full((m, 1), 1.0 if gcn else 0.0, np.float32),
+             level_valid[depth]], axis=1)
+        frontiers.append(Frontier(idx=idx, mask=mask, self_idx=base))
+    return x0_ids, frontiers
+
+
+@dataclasses.dataclass(frozen=True)
+class DistBatch:
+    """Device-ready tensors for one distributed step (leading dim =
+    mesh data axis)."""
+    requests: np.ndarray     # [n_dev, n_dev, cap]
+    addr_owner: np.ndarray   # [n_dev, u0_loc]
+    addr_slot: np.ndarray    # [n_dev, u0_loc]
+    frontiers: list          # numpy Frontiers stacked [n_dev, ...]
+    labels: np.ndarray       # [n_dev, b_loc]
+
+
+def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
+                     batch_per_dev: np.ndarray, num_layers: int, fanout: int,
+                     seed: int, gcn: bool = False,
+                     cap: int | None = None) -> DistBatch:
+    """batch_per_dev: [n_dev, b_loc] node ids."""
+    n_dev, b_loc = batch_per_dev.shape
+    x0_list, frontier_list = [], None
+    for d in range(n_dev):
+        x0_ids, frontiers = sample_dense_host(
+            graph, batch_per_dev[d], num_layers, fanout,
+            seed + d * 7919, gcn)
+        x0_list.append(x0_ids)
+        if frontier_list is None:
+            frontier_list = [[] for _ in frontiers]
+        for i, f in enumerate(frontiers):
+            frontier_list[i].append(f)
+
+    x0_per_dev = np.stack(x0_list)                       # [n_dev, u0_loc]
+    plan = plan_halo(x0_per_dev, graph.num_nodes, n_dev, cap=cap)
+    stacked = [Frontier(idx=np.stack([f.idx for f in fl]),
+                        mask=np.stack([f.mask for f in fl]),
+                        self_idx=np.stack([f.self_idx for f in fl]))
+               for fl in frontier_list]
+    return DistBatch(requests=plan.requests, addr_owner=plan.addr_owner,
+                     addr_slot=plan.addr_slot, frontiers=stacked,
+                     labels=labels[batch_per_dev].astype(np.int32))
+
+
+# ------------------------------------------------------------------- device
+def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
+                       clip: float = 5.0, axis: str = "data"):
+    """Returns jit'd step(params, feats_sharded, dist_batch_tensors)
+    -> (params, loss).  params replicated; feats P(data, None)."""
+
+    def local_step(params, feats_local, requests, addr_owner, addr_slot,
+                   f_idx, f_mask, f_self, labels):
+        # leading mesh dim of size 1 on each shard — drop it
+        requests, addr_owner, addr_slot = (requests[0], addr_owner[0],
+                                           addr_slot[0])
+        labels = labels[0]
+        frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
+                     for i, m, s in zip(f_idx, f_mask, f_self)]
+
+        def loss_fn(p):
+            x0 = halo_gather_local(feats_local, requests, addr_owner,
+                                   addr_slot, axis)
+            embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
+            logp = classifier_apply(p["clf"], embs)
+            mask = jnp.ones(labels.shape[0], dtype=embs.dtype)
+            return supervised_nll(logp, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+        return sgd_update(params, grads, lr), loss
+
+    n_layers = mcfg.num_layers
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None, None), P(axis, None),
+                  P(axis, None),
+                  tuple([P(axis, None, None)] * n_layers),
+                  tuple([P(axis, None, None)] * n_layers),
+                  tuple([P(axis, None)] * n_layers),
+                  P(axis, None)),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(params, feats_sharded, requests, addr_owner, addr_slot,
+             f_idx, f_mask, f_self, labels):
+        new_params, loss = sharded(params, feats_sharded, requests,
+                                   addr_owner, addr_slot, f_idx, f_mask,
+                                   f_self, labels)
+        return new_params, loss
+
+    return step
+
+
+def dist_batch_to_device(db: DistBatch, mesh: Mesh, axis: str = "data"):
+    """Place DistBatch tensors with their shardings; returns the tuple of
+    jnp args for the step function (after params, feats)."""
+    sh = lambda spec: NamedSharding(mesh, spec)
+    put = lambda a, spec: jax.device_put(jnp.asarray(a), sh(spec))
+    f_idx = tuple(put(f.idx, P(axis, None, None)) for f in db.frontiers)
+    f_mask = tuple(put(f.mask, P(axis, None, None)) for f in db.frontiers)
+    f_self = tuple(put(f.self_idx, P(axis, None)) for f in db.frontiers)
+    return (put(db.requests, P(axis, None, None)),
+            put(db.addr_owner, P(axis, None)),
+            put(db.addr_slot, P(axis, None)),
+            f_idx, f_mask, f_self,
+            put(db.labels, P(axis, None)))

@@ -1,0 +1,115 @@
+"""Distributed supervised training over the virtual 8-device mesh:
+edge-partitioned features + halo exchange + pmean'd gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphsage_tpu.data import synthetic_power_law
+from graphsage_tpu.models import GraphSageConfig, init_graphsage
+from graphsage_tpu.models.layers import init_classifier
+from graphsage_tpu.parallel.halo import shard_features
+from graphsage_tpu.train.distributed import (
+    build_dist_batch,
+    dist_batch_to_device,
+    make_dist_sup_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n_dev = 8
+    ds = synthetic_power_law(600, 3000, num_feats=24, num_classes=4, seed=2)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), axis_names=("data",))
+    mcfg = GraphSageConfig(num_layers=2, input_size=24, out_size=16)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "sage": init_graphsage(key, mcfg),
+        "clf": init_classifier(key, 16, 4),
+    }
+    return ds, mesh, mcfg, params, n_dev
+
+
+def test_distributed_step_runs_and_learns(setup):
+    ds, mesh, mcfg, params, n_dev = setup
+    rng = np.random.RandomState(0)
+    step = make_dist_sup_step(mcfg, mesh, lr=0.5)
+
+    feats_sh = jax.device_put(
+        jnp.asarray(shard_features(ds.features, n_dev)),
+        NamedSharding(mesh, P("data", None)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    losses = []
+    for it in range(6):
+        batch = rng.choice(len(ds.train_nodes), (n_dev, 8))
+        batch = ds.train_nodes[batch]
+        db = build_dist_batch(ds.graph, ds.labels, batch,
+                              mcfg.num_layers, fanout=4, seed=it)
+        args = dist_batch_to_device(db, mesh)
+        params, loss = step(params, feats_sh, *args)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_distributed_matches_single_device_forward(setup):
+    """With identical frontiers, the distributed halo forward must equal a
+    single-device gathered forward (same params, same batch)."""
+    ds, mesh, mcfg, params, n_dev = setup
+    from graphsage_tpu.models.graphsage import graphsage_apply, Frontier
+    from graphsage_tpu.parallel.halo import halo_gather_local, plan_halo
+    from graphsage_tpu.train.distributed import sample_dense_host
+    from jax.experimental.shard_map import shard_map
+
+    rng = np.random.RandomState(3)
+    batch = ds.train_nodes[rng.choice(len(ds.train_nodes), (n_dev, 6))]
+    db = build_dist_batch(ds.graph, ds.labels, batch, mcfg.num_layers,
+                          fanout=4, seed=99)
+
+    # distributed forward via shard_map
+    def fwd_local(feats_local, requests, addr_owner, addr_slot,
+                  f_idx, f_mask, f_self):
+        frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
+                     for i, m, s in zip(f_idx, f_mask, f_self)]
+        x0 = halo_gather_local(feats_local, requests[0], addr_owner[0],
+                               addr_slot[0], "data")
+        return graphsage_apply(params["sage"], mcfg, x0, frontiers)
+
+    n_layers = mcfg.num_layers
+    fwd = shard_map(
+        fwd_local, mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None), P("data", None),
+                  P("data", None),
+                  tuple([P("data", None, None)] * n_layers),
+                  tuple([P("data", None, None)] * n_layers),
+                  tuple([P("data", None)] * n_layers)),
+        out_specs=P("data", None))
+
+    feats_sh = jax.device_put(
+        jnp.asarray(shard_features(ds.features, n_dev)),
+        NamedSharding(mesh, P("data", None)))
+    args = dist_batch_to_device(db, mesh)
+    out = np.asarray(jax.jit(fwd)(feats_sh, *args[:-1]))
+    out = out.reshape(n_dev, -1, mcfg.out_size)
+
+    # single-device replay of each shard using the same frontiers
+    feats = jnp.asarray(ds.features)
+    for dcheck in range(0, n_dev, 3):
+        frontiers = [Frontier(idx=jnp.asarray(f.idx[dcheck]),
+                              mask=jnp.asarray(f.mask[dcheck]),
+                              self_idx=jnp.asarray(f.self_idx[dcheck]))
+                     for f in db.frontiers]
+        # reconstruct the x0 ids this shard needed
+        cap = db.requests.shape[2]
+        rows_per = shard_features(ds.features, n_dev).shape[0] // n_dev
+        flat_ids = (db.addr_owner[dcheck] * rows_per
+                    + db.requests[dcheck][db.addr_owner[dcheck],
+                                          db.addr_slot[dcheck]])
+        x0 = jnp.take(feats, jnp.asarray(flat_ids), axis=0)
+        want = np.asarray(graphsage_apply(params["sage"], mcfg, x0,
+                                          frontiers))
+        np.testing.assert_allclose(out[dcheck], want, rtol=1e-5, atol=1e-5)
