@@ -30,7 +30,10 @@ def main() -> None:
     from graphsage_tpu.data import load_cora
     from graphsage_tpu.models import GraphSageConfig, init_graphsage
     from graphsage_tpu.models.layers import init_classifier
-    from graphsage_tpu.train.dense import edges_per_batch, make_dense_sup_step
+    from graphsage_tpu.train.dense import (
+        edges_per_batch,
+        make_dense_sup_epoch,
+    )
 
     batch_size = 512
     fanout = 10
@@ -50,29 +53,27 @@ def main() -> None:
     degrees = jnp.asarray(pad.degrees)
     labels_all = jnp.asarray(ds.labels.astype(np.int32))
 
-    raw_step = make_dense_sup_step(mcfg, fanout=fanout)
-
-    @jax.jit
-    def step(params, batch, step_idx):
-        key = jax.random.fold_in(jax.random.PRNGKey(0), step_idx)
-        labels = jnp.take(labels_all, batch, axis=0)
-        return raw_step(params, feats, neighbors, degrees, batch, labels,
-                        key)
+    epoch_fn = jax.jit(make_dense_sup_epoch(mcfg, fanout=fanout))
 
     rng = np.random.RandomState(0)
-    batches = jnp.asarray(
-        rng.randint(0, ds.num_nodes, size=(64, batch_size)).astype(np.int32))
-
-    # warmup + compile
-    for i in range(3):
-        params, loss = step(params, batches[i % 64], jnp.int32(i))
-    jax.block_until_ready(loss)
-
     n_steps = 50
+    batches = jnp.asarray(
+        rng.randint(0, ds.num_nodes,
+                    size=(n_steps, batch_size)).astype(np.int32))
+    labels = jnp.take(labels_all, batches, axis=0)
+    key = jax.random.PRNGKey(824)
+
+    # warmup + compile (whole scan is one program)
+    params_w, losses = epoch_fn(params, feats, neighbors, degrees,
+                                batches, labels, key)
+    np.asarray(losses)
+
+    # NB: time via a value fetch — block_until_ready alone has been
+    # observed not to block on experimental remote TPU backends
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, loss = step(params, batches[i % 64], jnp.int32(i + 3))
-    jax.block_until_ready(loss)
+    params, losses = epoch_fn(params, feats, neighbors, degrees,
+                              batches, labels, key)
+    np.asarray(losses)
     dt = (time.perf_counter() - t0) / n_steps
 
     edges = edges_per_batch(batch_size, mcfg.num_layers, fanout)

@@ -113,14 +113,15 @@ def graphsage_apply(params: dict, cfg: GraphSageConfig, x0: jax.Array,
     assert len(frontiers) == cfg.num_layers
     h = x0
     for layer, frontier in enumerate(frontiers):
-        if _use_pretransform(cfg, h, frontier):
-            h = _mean_pretransform_layer(cfg, params["layers"][layer], h,
-                                         frontier)
-            continue
-        agg = _aggregate(cfg, params, layer, h, frontier)
-        self_feats = jnp.take(h, frontier.self_idx, axis=0)
-        h = sage_layer_apply(params["layers"][layer], self_feats, agg,
-                             gcn=cfg.gcn)
+        with jax.named_scope(f"sage_layer_{layer + 1}"):
+            if _use_pretransform(cfg, h, frontier):
+                h = _mean_pretransform_layer(cfg, params["layers"][layer],
+                                             h, frontier)
+                continue
+            agg = _aggregate(cfg, params, layer, h, frontier)
+            self_feats = jnp.take(h, frontier.self_idx, axis=0)
+            h = sage_layer_apply(params["layers"][layer], self_feats, agg,
+                                 gcn=cfg.gcn)
     return h
 
 
@@ -142,7 +143,8 @@ def graphsage_apply_gathered(params: dict, cfg: GraphSageConfig,
         cfg.agg_func == "MEAN" and cfg.mean_pretransform != "never"
         and (cfg.mean_pretransform == "always" or n <= 2 * u0))
     if not apply_table:
-        x0 = jnp.take(feats, x0_ids, axis=0)
+        with jax.named_scope("x0_gather"):
+            x0 = jnp.take(feats, x0_ids, axis=0)
         return graphsage_apply(params, cfg, x0, frontiers)
 
     w = params["layers"][0]["weight"]

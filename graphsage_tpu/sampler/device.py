@@ -66,8 +66,9 @@ def sample_frontiers_dense(key: jax.Array, neighbors: jax.Array,
     keys = jax.random.split(key, num_layers)
     for depth in range(num_layers):
         nodes = per_level_nodes[-1]
-        samples, valid = _sample_one_hop(keys[depth], neighbors, degrees,
-                                         nodes, k)        # [M, K]
+        with jax.named_scope(f"sample_hop_{depth}"):
+            samples, valid = _sample_one_hop(keys[depth], neighbors,
+                                             degrees, nodes, k)  # [M, K]
         not_self = samples != nodes[:, None]
         agg_valid = valid & not_self                       # neighbor slots
         # child layout per node: [self, K samples] → flat [M*(K+1)]

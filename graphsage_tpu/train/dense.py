@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from graphsage_tpu.losses import supervised_nll
+from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
 from graphsage_tpu.models import (
     GraphSageConfig,
     classifier_apply,
@@ -60,6 +60,62 @@ def make_dense_sup_step(mcfg: GraphSageConfig, fanout: int = 10,
         return sgd_update(params, grads, lr), loss
 
     return step
+
+
+def make_dense_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
+                          fanout: int = 10, lr: float = 0.7,
+                          clip: float = 5.0, learn_method: str = "unsup",
+                          q: float = 10.0, margin: float = 3.0):
+    """Unsupervised / plus_unsup train step on the dense pipeline.
+
+    The batch is the *extended* batch (pair-endpoint union, reference
+    src/models.py:135-148) and ``pairs`` are the fixed-shape PairBatch
+    tensors (host-sampled walks/negatives) indexing into it.
+    step(params, feats, neighbors, degrees, batch, labels, pairs, key)
+    -> (params, loss)."""
+
+    def step(params, feats, neighbors, degrees, batch, labels, pairs, key):
+        def loss_fn(p):
+            embs = dense_forward(p, mcfg, feats, neighbors, degrees,
+                                 batch, key, fanout)
+            loss = unsup_loss_from_pairbatch(embs, pairs, unsup_loss,
+                                             q=q, margin=margin)
+            if learn_method == "plus_unsup":
+                logp = classifier_apply(p["clf"], embs)
+                mask = jnp.ones(batch.shape[0], dtype=embs.dtype)
+                loss = loss + supervised_nll(logp, labels, mask)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+        return sgd_update(params, grads, lr), loss
+
+    return step
+
+
+def make_dense_sup_epoch(mcfg: GraphSageConfig, fanout: int = 10,
+                         lr: float = 0.7, clip: float = 5.0):
+    """Multi-step driver: `lax.scan` over a stack of batches so an entire
+    sequence of train steps is ONE device program — no host round-trip per
+    step (the production pattern; also what bench.py times).
+
+    Returns epoch(params, feats, neighbors, degrees, batches [T, B],
+    labels [T, B], key) -> (params, losses [T])."""
+    step = make_dense_sup_step(mcfg, fanout=fanout, lr=lr, clip=clip)
+
+    def epoch(params, feats, neighbors, degrees, batches, labels, key):
+        def body(carry, xs):
+            p, k = carry
+            batch, lab = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, feats, neighbors, degrees, batch, lab, sub)
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(body, (params, key),
+                                           (batches, labels))
+        return params, losses
+
+    return epoch
 
 
 def edges_per_batch(batch_size: int, num_layers: int, fanout: int) -> int:

@@ -1,0 +1,82 @@
+"""Dense on-device pipeline: sup epoch scan, unsup/plus_unsup steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.data import synthetic_power_law
+from graphsage_tpu.models import GraphSageConfig, init_graphsage
+from graphsage_tpu.models.layers import init_classifier
+from graphsage_tpu.sampler import PairSampler
+from graphsage_tpu.train.dense import (
+    edges_per_batch,
+    make_dense_sup_epoch,
+    make_dense_sup_step,
+    make_dense_unsup_step,
+)
+from graphsage_tpu.train.trainer import _pair_tensors
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = synthetic_power_law(300, 1500, num_feats=16, num_classes=4, seed=4)
+    pad = ds.graph.to_padded()
+    mcfg = GraphSageConfig(num_layers=2, input_size=16, out_size=16)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "sage": init_graphsage(key, mcfg),
+        "clf": init_classifier(key, 16, 4),
+    }
+    return ds, pad, mcfg, params
+
+
+def test_dense_sup_epoch_scan_learns(setup):
+    ds, pad, mcfg, params = setup
+    epoch_fn = jax.jit(make_dense_sup_epoch(mcfg, fanout=4, lr=0.3))
+    rng = np.random.RandomState(0)
+    t, b = 12, 32
+    batches = jnp.asarray(rng.choice(ds.train_nodes, (t, b)).astype(np.int32))
+    labels = jnp.asarray(ds.labels)[batches]
+    params2, losses = epoch_fn(params, jnp.asarray(ds.features),
+                               jnp.asarray(pad.neighbors),
+                               jnp.asarray(pad.degrees), batches, labels,
+                               jax.random.PRNGKey(1))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params actually moved
+    d0 = np.abs(np.asarray(params2["sage"]["layers"][0]["weight"])
+                - np.asarray(params["sage"]["layers"][0]["weight"])).max()
+    assert d0 > 0
+
+
+@pytest.mark.parametrize("kind,method", [("normal", "unsup"),
+                                         ("margin", "unsup"),
+                                         ("normal", "plus_unsup")])
+def test_dense_unsup_step(setup, kind, method):
+    ds, pad, mcfg, params = setup
+    ps = PairSampler(ds.graph, ds.train_nodes)
+    rng = np.random.RandomState(1)
+    batch = ds.train_nodes[rng.choice(len(ds.train_nodes), 16)]
+    num_neg = 6 if kind == "margin" else 20
+    pb = ps.sample_batch(batch, num_neg=num_neg, rng=rng)
+    ext = pb.unique_nodes  # padded extended batch
+
+    step = jax.jit(make_dense_unsup_step(mcfg, unsup_loss=kind, fanout=4,
+                                         lr=0.1, learn_method=method))
+    labels = jnp.asarray(ds.labels)[jnp.asarray(ext)]
+    p2, loss = step(params, jnp.asarray(ds.features),
+                    jnp.asarray(pad.neighbors), jnp.asarray(pad.degrees),
+                    jnp.asarray(ext), labels, _pair_tensors(pb),
+                    jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    d0 = np.abs(np.asarray(p2["sage"]["layers"][0]["weight"])
+                - np.asarray(params["sage"]["layers"][0]["weight"])).max()
+    assert d0 > 0
+
+
+def test_edges_per_batch_formula():
+    assert edges_per_batch(20, 2, 10) == 20 * 10 + 20 * 11 * 10
+    assert edges_per_batch(1, 1, 5) == 5
