@@ -1,0 +1,60 @@
+"""Multi-host initialization and process-level helpers.
+
+The reference is single-process (src/main.py:36).  On a multi-host TPU pod
+slice the JAX-native recipe is:
+
+    from graphsage_tpu.parallel.multihost import initialize
+    initialize()                      # jax.distributed across hosts
+    mesh = make_global_mesh()         # all chips of the slice, axis 'data'
+
+After `jax.distributed.initialize`, `jax.devices()` spans the slice and
+every `Mesh`/`shard_map` program in this framework (halo exchange, DP
+gradient pmean) runs unchanged with XLA routing intra-host collectives over
+ICI and inter-host legs over DCN.  Each host feeds only its own batch
+shards (`process_index` selects rows), which is exactly the layout
+`train.distributed.build_dist_batch` emits.
+
+This module is exercised single-process in CI (initialize() is a no-op
+there); the multi-host path follows the standard jax.distributed contract
+(coordinator address from TPU metadata or env).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize jax.distributed when running multi-process; safe no-op in
+    a single-process session.  On Cloud TPU the arguments are discovered
+    automatically from the metadata server."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address or num_processes:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        else:
+            # auto-discovery path (TPU metadata); harmless failure in
+            # single-process environments
+            jax.distributed.initialize()
+    except Exception:
+        pass
+
+
+def make_global_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over every chip of the (possibly multi-host) slice."""
+    return Mesh(np.asarray(jax.devices()), axis_names=(axis,))
+
+
+def local_batch_rows(global_batch: np.ndarray) -> np.ndarray:
+    """Rows of a [n_dev_global, ...] host-built batch that THIS process
+    must feed (jax requires each host to provide its addressable shards)."""
+    n_local = jax.local_device_count()
+    start = jax.process_index() * n_local
+    return global_batch[start:start + n_local]

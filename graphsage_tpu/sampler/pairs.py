@@ -53,7 +53,18 @@ class PairSampler:
 
     def __init__(self, graph: CSRGraph, train_nodes: np.ndarray,
                  q: int = 10, n_walks: int = 6, walk_len: int = 1,
-                 n_walk_len: int = 5, margin: float = 3.0):
+                 n_walk_len: int = 5, margin: float = 3.0,
+                 negative_mode: str = "auto"):
+        """negative_mode:
+        - "exact": reference semantics — negatives are train nodes outside
+          the ≤n_walk_len-hop BFS closure (src/models.py:153-167).  Costs
+          one BFS + an N-bit mask per distinct target node (cached).
+        - "uniform": negatives drawn uniformly from train nodes ≠ target.
+          O(1) per node; the standard large-graph approximation (on a
+          power-law graph the 5-hop closure approaches the whole component,
+          making "far" both ill-defined and expensive).
+        - "auto": exact below 200k nodes, uniform above.
+        """
         self.graph = graph
         self.q = q
         self.n_walks = n_walks
@@ -63,6 +74,11 @@ class PairSampler:
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
         self.train_set = set(self.train_nodes.tolist())
         self._closure_cache: dict[int, np.ndarray] = {}
+        if negative_mode == "auto":
+            negative_mode = ("exact" if graph.num_nodes <= 200_000
+                             else "uniform")
+        assert negative_mode in ("exact", "uniform"), negative_mode
+        self.negative_mode = negative_mode
 
     # ---- BFS closure (reference src/models.py:154-162), bit-packed+cached
     def _closure_bits(self, node: int) -> np.ndarray:
@@ -104,7 +120,14 @@ class PairSampler:
     def negatives(self, node: int, num_neg: int,
                   rng: np.random.RandomState) -> np.ndarray:
         """train_nodes − ≤n_walk_len-hop neighborhood, sampled w/o
-        replacement (reference src/models.py:163-166)."""
+        replacement (reference src/models.py:163-166); uniform large-graph
+        mode excludes only the target itself."""
+        if self.negative_mode == "uniform":
+            cand = self.train_nodes
+            picks = rng.choice(cand, size=min(num_neg + 1, len(cand)),
+                               replace=False)
+            picks = picks[picks != node][:num_neg]
+            return picks
         close = np.unpackbits(self._closure_bits(node),
                               count=self.graph.num_nodes).astype(bool)
         far = self.train_nodes[~close[self.train_nodes]]

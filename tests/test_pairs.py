@@ -78,3 +78,16 @@ def test_sample_batch_shapes_and_union():
         for j in range(pb.neg_q.shape[1]):
             if pb.neg_mask[i, j] > 0:
                 assert not close[pb.unique_nodes[pb.neg_q[i, j]]]
+
+
+def test_uniform_negative_mode():
+    from graphsage_tpu.sampler.pairs import PairSampler
+    g = line_graph(40)
+    ps = PairSampler(g, np.arange(40), negative_mode="uniform")
+    rng = np.random.RandomState(0)
+    negs = ps.negatives(5, num_neg=10, rng=rng)
+    assert len(negs) == 10
+    assert 5 not in negs
+    assert len(set(negs.tolist())) == 10
+    # closure cache untouched in uniform mode
+    assert not ps._closure_cache

@@ -1,0 +1,84 @@
+"""Statistical checks: samplers must be uniform without replacement
+(reference semantics src/models.py:280-284) — frequency tests over many
+draws for both the device sampler and the native C++ sampler."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.data import CSRGraph
+
+
+def star_graph(center_deg=20):
+    """node 0 connected to 1..center_deg."""
+    src = np.zeros(center_deg, dtype=np.int64)
+    dst = np.arange(1, center_deg + 1)
+    return CSRGraph.from_edges(center_deg + 1, src, dst)
+
+
+def test_device_sampler_uniform():
+    from graphsage_tpu.sampler.device import _sample_one_hop
+    deg, fanout, trials = 20, 10, 400
+    g = star_graph(deg)
+    pad = g.to_padded()
+    neighbors = jnp.asarray(pad.neighbors)
+    degrees = jnp.asarray(pad.degrees)
+    nodes = jnp.zeros(trials, dtype=jnp.int32)  # node 0, many draws
+
+    samples, valid = jax.jit(
+        lambda k: _sample_one_hop(k, neighbors, degrees, nodes, fanout)
+    )(jax.random.PRNGKey(0))
+    samples, valid = np.asarray(samples), np.asarray(valid)
+
+    assert valid.all()  # deg >= fanout → all slots valid
+    # without replacement within each draw
+    for r in range(trials):
+        assert len(set(samples[r])) == fanout
+    # uniform marginal: each neighbor ∈ 1..20 appears with p = 10/20
+    counts = np.bincount(samples.reshape(-1), minlength=deg + 1)[1:]
+    expected = trials * fanout / deg
+    # 4-sigma binomial bound
+    sigma = np.sqrt(trials * (fanout / deg) * (1 - fanout / deg))
+    assert np.all(np.abs(counts - expected) < 4 * sigma + 1), counts
+
+
+def test_native_sampler_uniform():
+    pytest.importorskip("graphsage_tpu.native")
+    from graphsage_tpu.native import available, sample_fanout_native
+    if not available():
+        pytest.skip("native engine not built")
+    deg, fanout, trials = 20, 10, 400
+    g = star_graph(deg)
+    nodes = np.zeros(trials, dtype=np.int32)
+    out, counts_per = sample_fanout_native(g.indptr, g.indices, g.num_nodes,
+                                           nodes, fanout, seed=7)
+    assert (counts_per == fanout).all()
+    for r in range(trials):
+        assert len(set(out[r].tolist())) == fanout
+    counts = np.bincount(out.reshape(-1), minlength=deg + 1)[1:]
+    expected = trials * fanout / deg
+    sigma = np.sqrt(trials * 0.5 * 0.5)
+    assert np.all(np.abs(counts - expected) < 4 * sigma + 1), counts
+
+
+def test_walk_positives_uniform_over_neighbors():
+    """WALK_LEN=1 walks: each neighbor of a train node should be hit
+    roughly uniformly (reference src/models.py:169-186)."""
+    from graphsage_tpu.sampler import PairSampler
+    deg = 8
+    g = star_graph(deg)
+    train = np.arange(g.num_nodes)
+    ps = PairSampler(g, train)
+    rng = np.random.RandomState(0)
+    counts = np.zeros(deg + 1)
+    trials = 300
+    for _ in range(trials):
+        for p in ps.positives(0, rng):
+            counts[p] += 1
+    total = counts.sum()
+    assert total > 0
+    expected = total / deg
+    assert np.all(np.abs(counts[1:] - expected) < 5 * np.sqrt(expected)), \
+        counts
