@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default=None,
                    help="dataset directory override")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--metrics", type=str, default=None,
+                   help="path for jsonl structured metrics")
     return p
 
 
@@ -89,7 +91,8 @@ def main(argv=None) -> int:
         learn_method=args.learn_method, unsup_loss=args.unsup_loss,
         b_sz=args.b_sz, epochs=args.epochs, lr=args.lr, seed=args.seed,
         fanout=args.fanout, clf_epochs=args.clf_epochs,
-        strict_clf_eval=args.strict_clf_eval, verbose=not args.quiet)
+        strict_clf_eval=args.strict_clf_eval, verbose=not args.quiet,
+        metrics_path=args.metrics)
 
     def checkpoint_fn(trainer, test_f1):
         from graphsage_tpu.utils.checkpoint import save_checkpoint

@@ -48,13 +48,13 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     classifier weight sharded on its input dim; everything else replicated.
     """
     def place(path, leaf):
-        names = [getattr(p, "name", getattr(p, "key", None))
-                 for p in path]
+        names = {str(getattr(p, "key", getattr(p, "name", p)))
+                 for p in path}
         spec = P()
         if leaf.ndim == 2:
-            if "layers" in str(names) or any(n == "layers" for n in names):
+            if "layers" in names:
                 spec = P("model", None)
-            elif "clf" in str(names):
+            elif "clf" in names:
                 spec = P(None, "model")
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 

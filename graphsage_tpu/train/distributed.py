@@ -34,7 +34,7 @@ from graphsage_tpu.data.graph import CSRGraph
 from graphsage_tpu.losses import supervised_nll
 from graphsage_tpu.models import GraphSageConfig, classifier_apply
 from graphsage_tpu.models.graphsage import Frontier, graphsage_apply
-from graphsage_tpu.parallel.halo import HaloPlan, halo_gather_local, plan_halo
+from graphsage_tpu.parallel.halo import halo_gather_local, plan_halo
 from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 
 

@@ -22,7 +22,6 @@ num_neg 100 for 'normal' / 6 for 'margin' (src/utils.py:119-122).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 import time
 from typing import Callable
@@ -36,7 +35,6 @@ from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
 from graphsage_tpu.models import (
     GraphSageConfig,
     classifier_apply,
-    graphsage_apply,
     init_classifier,
     init_graphsage,
 )
@@ -66,6 +64,7 @@ class TrainConfig:
     # ~800x fewer encoder invocations).
     strict_clf_eval: bool = False
     verbose: bool = True
+    metrics_path: str | None = None   # jsonl metrics sink (utils/obs.py)
 
     @property
     def num_neg(self) -> int:
@@ -116,6 +115,8 @@ class Trainer:
         self.max_vali_f1 = 0.0
         self.epoch = 0
         self.history: list[dict] = []
+        from graphsage_tpu.utils.obs import MetricsLogger
+        self.metrics = MetricsLogger(train_cfg.metrics_path)
 
         self._step_fn = self._build_step_fn()
         self._embed_fn = jax.jit(self._embed_impl)
@@ -215,12 +216,14 @@ class Trainer:
         if self.tcfg.verbose:
             print(f"Validation F1: {vali_f1:.4f}")
         entry = {"epoch": self.epoch, "val_f1": vali_f1}
+        self.metrics.log("eval", epoch=self.epoch, val_f1=vali_f1)
         if vali_f1 > self.max_vali_f1:
             self.max_vali_f1 = vali_f1
             pred_t = self._predict(test, None if cached_embs is None
                                    else cached_embs[test])
             test_f1 = micro_f1(self.labels_np[test], pred_t)
             entry["test_f1"] = test_f1
+            self.metrics.log("test", epoch=self.epoch, test_f1=test_f1)
             if self.tcfg.verbose:
                 print(f"Test F1: {test_f1:.4f}")
             if self.checkpoint_fn is not None:
@@ -265,7 +268,11 @@ class Trainer:
             if tcfg.verbose:
                 print(f"Step [{bi + 1}/{batches}], Loss: {loss:.4f}, "
                       f"Dealed Nodes [{len(visited)}/{len(train_nodes)}]")
-        return float(np.mean(losses))
+        mean_loss = float(np.mean(losses))
+        self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
+                         visited_nodes=len(visited),
+                         train_nodes=len(train_nodes))
+        return mean_loss
 
     def train_classification(self) -> float:
         """Classifier-only fit on frozen embeddings (reference
