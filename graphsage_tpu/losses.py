@@ -81,7 +81,36 @@ def unsup_loss_from_pairbatch(embeddings: jax.Array, pb_tensors: dict,
                               kind: str, q: float = 10.0,
                               margin: float = 3.0) -> jax.Array:
     """Dispatch helper over jnp-converted PairBatch fields
-    (reference dispatch src/utils.py:177-181)."""
+    (reference dispatch src/utils.py:177-181).
+
+    When ``target_rows`` is present in the tensors, pair scores come from
+    the dense SDDMM block (ops/sddmm.py): one MXU matmul + scalar sampling
+    instead of per-pair gathers — exact, and the TPU-shaped formulation
+    (every pair's left endpoint is a target node).
+    """
+    target_rows = pb_tensors.get("target_rows")
+    if target_rows is not None:
+        from graphsage_tpu.ops.sddmm import dense_pair_scores, sample_scores
+        scores = dense_pair_scores(embeddings, target_rows)      # [B, U]
+        pos_cos = sample_scores(scores, pb_tensors["pos_q"])
+        neg_cos = sample_scores(scores, pb_tensors["neg_q"])
+        pm, nm, nv = (pb_tensors["pos_mask"], pb_tensors["neg_mask"],
+                      pb_tensors["node_valid"])
+        if kind == "normal":
+            pos_term = _masked_mean(-jax.nn.log_sigmoid(pos_cos), pm, 1)
+            neg_term = q * _masked_mean(jax.nn.log_sigmoid(-neg_cos), nm, 1)
+            per_node = pos_term - neg_term
+        elif kind == "margin":
+            big = jnp.asarray(1e30, embeddings.dtype)
+            pos_s = jax.nn.log_sigmoid(pos_cos)
+            neg_s = jax.nn.log_sigmoid(neg_cos)
+            pos_min = jnp.min(jnp.where(pm > 0, pos_s, big), axis=1)
+            neg_max = jnp.max(jnp.where(nm > 0, neg_s, -big), axis=1)
+            per_node = jax.nn.relu(neg_max - pos_min + margin)
+        else:
+            raise ValueError("unsup_loss can be only 'margin' or 'normal'.")
+        return jnp.sum(per_node * nv) / jnp.maximum(jnp.sum(nv), 1.0)
+
     args = (embeddings, pb_tensors["pos_p"], pb_tensors["pos_q"],
             pb_tensors["pos_mask"], pb_tensors["neg_p"], pb_tensors["neg_q"],
             pb_tensors["neg_mask"], pb_tensors["node_valid"])

@@ -82,6 +82,9 @@ def _pair_tensors(pb) -> dict:
         "neg_p": jnp.asarray(pb.neg_p), "neg_q": jnp.asarray(pb.neg_q),
         "neg_mask": jnp.asarray(pb.neg_mask),
         "node_valid": jnp.asarray(pb.node_valid),
+        # presence of target_rows routes the losses through the dense
+        # SDDMM score block (ops/sddmm.py) instead of per-pair gathers
+        "target_rows": jnp.asarray(pb.target_rows),
     }
 
 
@@ -123,21 +126,23 @@ class Trainer:
         self._clf_step_fn = jax.jit(self._clf_step_impl)
 
     # ------------------------------------------------------------------ jit
-    def _embed_impl(self, sage_params, x0_ids, frontiers):
+    # NB: feats is an explicit argument (not a closure capture) so the
+    # feature table is not baked into every compiled program as a constant.
+    def _embed_impl(self, sage_params, feats, x0_ids, frontiers):
         from graphsage_tpu.models.graphsage import graphsage_apply_gathered
-        return graphsage_apply_gathered(sage_params, self.mcfg, self.feats,
+        return graphsage_apply_gathered(sage_params, self.mcfg, feats,
                                         x0_ids, frontiers)
 
     def _build_step_fn(self):
         mcfg, tcfg = self.mcfg, self.tcfg
 
         @jax.jit
-        def step(params, x0_ids, frontiers, labels, row_mask, pairs):
+        def step(params, feats, x0_ids, frontiers, labels, row_mask, pairs):
             def loss_fn(p):
                 from graphsage_tpu.models.graphsage import (
                     graphsage_apply_gathered,
                 )
-                embs = graphsage_apply_gathered(p["sage"], mcfg, self.feats,
+                embs = graphsage_apply_gathered(p["sage"], mcfg, feats,
                                                 x0_ids, frontiers)
                 if tcfg.learn_method in ("sup", "plus_unsup"):
                     logp = classifier_apply(p["clf"], embs)
@@ -184,7 +189,8 @@ class Trainer:
                                  num_layers=self.mcfg.num_layers,
                                  fanout=self.tcfg.fanout, gcn=self.mcfg.gcn)
         frontiers = jax.tree_util.tree_map(jnp.asarray, list(cb.frontiers))
-        embs = self._embed_fn(sage_params, jnp.asarray(cb.x0_ids), frontiers)
+        embs = self._embed_fn(sage_params, self.feats,
+                              jnp.asarray(cb.x0_ids), frontiers)
         return np.asarray(embs)[:len(nodes)]
 
     def all_embeddings(self) -> np.ndarray:
@@ -260,7 +266,7 @@ class Trainer:
             frontiers = jax.tree_util.tree_map(jnp.asarray,
                                                list(cb.frontiers))
             self.params, loss = self._step_fn(
-                self.params, jnp.asarray(cb.x0_ids), frontiers,
+                self.params, self.feats, jnp.asarray(cb.x0_ids), frontiers,
                 jnp.asarray(labels), jnp.asarray(row_mask),
                 _pair_tensors(pb))
             loss = float(loss)

@@ -1,0 +1,64 @@
+"""SDDMM dense-score path: XLA block vs per-pair cosine, Pallas kernel vs
+XLA block, and loss equivalence between gather and dense formulations."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.losses import unsup_loss_from_pairbatch
+from graphsage_tpu.ops.aggregate import pair_cosine
+from graphsage_tpu.ops.sddmm import (
+    dense_pair_scores,
+    pallas_pair_scores,
+    sample_scores,
+)
+
+
+def test_dense_scores_match_pair_cosine(rng):
+    u, h, b = 50, 16, 7
+    emb = jnp.asarray(rng.randn(u, h).astype(np.float32))
+    targets = jnp.asarray(rng.choice(u, b, replace=False).astype(np.int32))
+    scores = dense_pair_scores(emb, targets)
+    q = jnp.asarray(rng.randint(0, u, (b, 9)).astype(np.int32))
+    got = sample_scores(scores, q)
+    p = jnp.broadcast_to(targets[:, None], q.shape)
+    want = pair_cosine(emb, p, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_scores_match_xla(rng):
+    u, h, b = 130, 40, 12  # unaligned on purpose
+    emb = jnp.asarray(rng.randn(u, h).astype(np.float32))
+    targets = jnp.asarray(rng.choice(u, b, replace=False).astype(np.int32))
+    got = pallas_pair_scores(emb, targets, interpret=True)
+    want = dense_pair_scores(emb, targets)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["normal", "margin"])
+def test_loss_dense_matches_gather(rng, kind):
+    u, h, b = 64, 8, 6
+    emb = jnp.asarray(rng.randn(u, h).astype(np.float32))
+    targets = rng.choice(u, b, replace=False).astype(np.int32)
+    pos_q = rng.randint(0, u, (b, 4)).astype(np.int32)
+    neg_q = rng.randint(0, u, (b, 9)).astype(np.int32)
+    pos_p = np.broadcast_to(targets[:, None], pos_q.shape).copy()
+    neg_p = np.broadcast_to(targets[:, None], neg_q.shape).copy()
+    pos_mask = (rng.rand(b, 4) < 0.8).astype(np.float32)
+    neg_mask = (rng.rand(b, 9) < 0.8).astype(np.float32)
+    node_valid = ((pos_mask.sum(1) > 0) & (neg_mask.sum(1) > 0)
+                  ).astype(np.float32)
+    base = {
+        "pos_p": jnp.asarray(pos_p), "pos_q": jnp.asarray(pos_q),
+        "pos_mask": jnp.asarray(pos_mask), "neg_p": jnp.asarray(neg_p),
+        "neg_q": jnp.asarray(neg_q), "neg_mask": jnp.asarray(neg_mask),
+        "node_valid": jnp.asarray(node_valid),
+    }
+    gather_loss = float(unsup_loss_from_pairbatch(emb, base, kind))
+    dense = dict(base, target_rows=jnp.asarray(targets))
+    dense_loss = float(unsup_loss_from_pairbatch(emb, dense, kind))
+    np.testing.assert_allclose(dense_loss, gather_loss, rtol=1e-5)
