@@ -68,15 +68,50 @@ def split_nodes(num_nodes: int, seed: int,
             train.astype(np.int32))
 
 
-def _synth_features_labels(node_ids, num_feats, num_classes, seed, binary):
+def _voronoi_labels(graph: CSRGraph, num_classes: int,
+                    rng: np.random.RandomState,
+                    seeds_per_class: int = 6) -> np.ndarray:
+    """Topology-correlated synthetic labels via multi-source BFS Voronoi
+    cells: random seed nodes get class labels, every node takes the class
+    of its nearest seed.  Gives synthetic labels the edge homophily real
+    citation networks have (~0.75 measured on the real Cora graph vs ~0.81
+    for true Cora labels), so graph structure carries label signal and
+    unsupervised/structural objectives produce meaningful downstream F1
+    (purely random labels make neighborhood aggregation label-noise)."""
+    n = graph.num_nodes
+    labels = np.full(n, -1, np.int32)
+    k = min(n, num_classes * seeds_per_class)
+    seeds = rng.choice(n, k, replace=False)
+    labels[seeds] = np.resize(np.arange(num_classes), k)
+    frontier = [int(s) for s in seeds]
+    while frontier:
+        nxt: list[int] = []
+        rng.shuffle(frontier)
+        for v in frontier:
+            for u in graph.neighbors(v):
+                if labels[u] < 0:
+                    labels[u] = labels[v]
+                    nxt.append(int(u))
+        frontier = nxt
+    miss = labels < 0  # components without a seed
+    labels[miss] = rng.randint(0, num_classes, int(miss.sum()))
+    return labels
+
+
+def _synth_features_labels(node_ids, num_feats, num_classes, seed, binary,
+                           graph: CSRGraph | None = None):
     """Deterministic per-node synthetic content for when the real content
     file is absent from the mount.  Features follow the documented format
     (binary word-presence for cora per cora/README; TF-IDF floats for
     pubmed); labels are drawn so that label and a feature subset correlate,
-    keeping classification learnable for integration tests."""
+    and — when the graph is supplied — smoothed over it so labels also
+    correlate with topology, keeping every training mode informative."""
     n = len(node_ids)
     rng = np.random.RandomState(seed)
-    labels = rng.randint(0, num_classes, size=n).astype(np.int32)
+    if graph is not None:
+        labels = _voronoi_labels(graph, num_classes, rng)
+    else:
+        labels = rng.randint(0, num_classes, size=n).astype(np.int32)
     feats = np.zeros((n, num_feats), dtype=np.float32)
     # class-dependent signal blocks, deliberately overlapping between
     # adjacent classes and sparse (p=0.18), over a heavier uniform noise
@@ -128,9 +163,6 @@ def load_cora(root: str = "/root/reference/cora", seed: int = 824) -> Dataset:
         for i, pid in enumerate(sorted(ids, key=int)):
             node_map[pid] = i
         num_classes = 7
-        feats, labels = _synth_features_labels(
-            list(node_map), num_feats=1433, num_classes=num_classes,
-            seed=seed, binary=True)
 
     src, dst = [], []
     with open(cites_path) as fp:
@@ -140,6 +172,10 @@ def load_cora(root: str = "/root/reference/cora", seed: int = 824) -> Dataset:
             src.append(node_map[info[0]])
             dst.append(node_map[info[1]])
     graph = CSRGraph.from_edges(len(node_map), np.array(src), np.array(dst))
+    if synthetic:
+        feats, labels = _synth_features_labels(
+            list(node_map), num_feats=1433, num_classes=num_classes,
+            seed=seed, binary=True, graph=graph)
     test, val, train = split_nodes(graph.num_nodes, seed)
     return Dataset("cora", graph, feats, labels, num_classes,
                    train, val, test, synthetic_features=synthetic)
@@ -186,8 +222,6 @@ def load_pubmed(root: str = "/root/reference/pubmed-data",
                         ids.append(pid)
         for i, pid in enumerate(ids):
             node_map[pid] = i
-        feats, labels = _synth_features_labels(
-            ids, num_feats=500, num_classes=3, seed=seed, binary=False)
 
     src, dst = [], []
     with open(cites_path) as fp:
@@ -198,6 +232,10 @@ def load_pubmed(root: str = "/root/reference/pubmed-data",
             src.append(node_map[info[1].split(":")[1]])
             dst.append(node_map[info[-1].split(":")[1]])
     graph = CSRGraph.from_edges(len(node_map), np.array(src), np.array(dst))
+    if synthetic:
+        feats, labels = _synth_features_labels(
+            ids, num_feats=500, num_classes=3, seed=seed, binary=False,
+            graph=graph)
     test, val, train = split_nodes(graph.num_nodes, seed)
     return Dataset("pubmed", graph, feats, labels, 3,
                    train, val, test, synthetic_features=synthetic)
