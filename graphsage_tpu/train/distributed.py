@@ -152,11 +152,16 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
             embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
             logp = classifier_apply(p["clf"], embs)
             mask = jnp.ones(labels.shape[0], dtype=embs.dtype)
-            return supervised_nll(logp, labels, mask)
+            # the pmean lives INSIDE the differentiated function so autodiff
+            # inserts the correct gradient collective.  (Differentiating a
+            # per-shard loss w.r.t. replicated params and pmean-ing the
+            # grads afterwards silently psums instead under jax's unreduced
+            # vma semantics — 8x-scaled gradients; caught by
+            # tests/test_distributed.py::test_distributed_update_matches_
+            # single_device.)
+            return jax.lax.pmean(supervised_nll(logp, labels, mask), axis)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
         grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
         return sgd_update(params, grads, lr), loss
 

@@ -269,12 +269,16 @@ class Trainer:
                 self.params, self.feats, jnp.asarray(cb.x0_ids), frontiers,
                 jnp.asarray(labels), jnp.asarray(row_mask),
                 _pair_tensors(pb))
-            loss = float(loss)
-            losses.append(loss)
             if tcfg.verbose:
+                # per-step loss print (reference src/utils.py:183) forces a
+                # device sync each batch
+                loss = float(loss)
                 print(f"Step [{bi + 1}/{batches}], Loss: {loss:.4f}, "
                       f"Dealed Nodes [{len(visited)}/{len(train_nodes)}]")
-        mean_loss = float(np.mean(losses))
+            losses.append(loss)
+        # quiet mode defers every loss fetch to here so step dispatch runs
+        # ahead of the device (hides per-step host<->device latency)
+        mean_loss = float(np.mean([float(l) for l in losses]))
         self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
                          visited_nodes=len(visited),
                          train_nodes=len(train_nodes))

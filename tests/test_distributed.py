@@ -113,3 +113,61 @@ def test_distributed_matches_single_device_forward(setup):
         want = np.asarray(graphsage_apply(params["sage"], mcfg, x0,
                                           frontiers))
         np.testing.assert_allclose(out[dcheck], want, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_update_matches_single_device(setup):
+    """One distributed step's parameter update must equal a single-device
+    update computed from the same frontiers: loss = mean of per-shard
+    losses, grads pmean'd then clipped (shards are equal-sized)."""
+    ds, mesh, mcfg, params, n_dev = setup
+    import jax.numpy as jnp
+    from graphsage_tpu.losses import supervised_nll
+    from graphsage_tpu.models import classifier_apply
+    from graphsage_tpu.models.graphsage import Frontier, graphsage_apply
+    from graphsage_tpu.parallel.halo import shard_features
+    from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
+
+    rng = np.random.RandomState(7)
+    batch = ds.train_nodes[rng.choice(len(ds.train_nodes), (n_dev, 5))]
+    db = build_dist_batch(ds.graph, ds.labels, batch, mcfg.num_layers,
+                          fanout=3, seed=5)
+
+    lr, clip = 0.4, 5.0
+    step = make_dist_sup_step(mcfg, mesh, lr=lr, clip=clip)
+    feats_padded = shard_features(ds.features, n_dev)
+    feats_sh = jax.device_put(jnp.asarray(feats_padded),
+                              NamedSharding(mesh, P("data", None)))
+    params_repl = jax.device_put(params, NamedSharding(mesh, P()))
+    new_params, loss = step(params_repl, feats_sh,
+                            *dist_batch_to_device(db, mesh))
+
+    # single-device replay: mean over shards of per-shard loss
+    rows_per = feats_padded.shape[0] // n_dev
+    feats = jnp.asarray(feats_padded)
+
+    def total_loss(p):
+        acc = 0.0
+        for d in range(n_dev):
+            frontiers = [Frontier(idx=jnp.asarray(f.idx[d]),
+                                  mask=jnp.asarray(f.mask[d]),
+                                  self_idx=jnp.asarray(f.self_idx[d]))
+                         for f in db.frontiers]
+            flat_ids = (db.addr_owner[d] * rows_per
+                        + db.requests[d][db.addr_owner[d], db.addr_slot[d]])
+            x0 = jnp.take(feats, jnp.asarray(flat_ids), axis=0)
+            embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
+            logp = classifier_apply(p["clf"], embs)
+            labels = jnp.asarray(db.labels[d])
+            mask = jnp.ones(labels.shape[0], dtype=embs.dtype)
+            acc = acc + supervised_nll(logp, labels, mask)
+        return acc / n_dev
+
+    want_loss, grads = jax.value_and_grad(total_loss)(params)
+    grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+    want_params = sgd_update(params, grads, lr)
+
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
