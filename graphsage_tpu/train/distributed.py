@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from graphsage_tpu.data.graph import CSRGraph
 from graphsage_tpu.losses import supervised_nll

@@ -63,7 +63,7 @@ def test_distributed_matches_single_device_forward(setup):
     from graphsage_tpu.models.graphsage import graphsage_apply, Frontier
     from graphsage_tpu.parallel.halo import halo_gather_local, plan_halo
     from graphsage_tpu.train.distributed import sample_dense_host
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     rng = np.random.RandomState(3)
     batch = ds.train_nodes[rng.choice(len(ds.train_nodes), (n_dev, 6))]
