@@ -94,9 +94,16 @@ class CSRGraph:
         width = max(width, 1)
         table = np.full((self.num_nodes, width), pad_value, dtype=np.int32)
         for_deg = np.minimum(deg, width)
-        # vectorized fill: flat positions row*width + col
+        # vectorized fill: flat positions row*width + col, with per-row
+        # column offsets derived without a Python loop (ramp minus the
+        # repeated row starts)
         rows = np.repeat(np.arange(self.num_nodes), for_deg)
-        offs = np.concatenate([np.arange(n) for n in for_deg]) if len(rows) else np.zeros(0, int)
+        if len(rows):
+            starts = np.zeros(self.num_nodes, dtype=np.int64)
+            np.cumsum(for_deg[:-1], out=starts[1:])
+            offs = np.arange(len(rows), dtype=np.int64) - starts[rows]
+        else:
+            offs = np.zeros(0, np.int64)
         table[rows, offs] = self.indices[
             (np.repeat(self.indptr[:-1], for_deg) + offs)]
         return PaddedAdjacency(
