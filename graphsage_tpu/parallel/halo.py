@@ -59,10 +59,19 @@ class HaloPlan:
     addr_owner int32 [n_dev, b_loc] — owner index for each frontier slot.
     addr_slot  int32 [n_dev, b_loc] — slot in the received [n_dev, cap]
                buffer for each frontier slot.
+
+    With ``exclude_self=True`` (default) self-owned slots bypass the
+    exchange entirely: requests[r, r] stays empty, ``addr_local`` holds the
+    local row for those slots and ``addr_is_local`` marks them.  The
+    payload collective carries only true boundary rows (after a locality
+    reorder, most slots are local), and XLA can overlap the all_to_all
+    with the independent local gather.
     """
     requests: np.ndarray
     addr_owner: np.ndarray
     addr_slot: np.ndarray
+    addr_is_local: np.ndarray   # float32/bool [n_dev, b_loc]
+    addr_local: np.ndarray      # int32 [n_dev, b_loc]
     cap: int
     rows_per: int
 
@@ -75,7 +84,8 @@ def _bucket_cap(n: int, minimum: int = 16) -> int:
 
 
 def plan_halo(ids_per_dev: np.ndarray, num_nodes: int, n_dev: int,
-              cap: int | None = None) -> HaloPlan:
+              cap: int | None = None,
+              exclude_self: bool = True) -> HaloPlan:
     """Build the exchange plan for per-device frontier id lists.
 
     ids_per_dev: int64/int32 [n_dev, b_loc] global node ids each device
@@ -92,9 +102,15 @@ def plan_halo(ids_per_dev: np.ndarray, num_nodes: int, n_dev: int,
     req_lists = [[None] * n_dev for _ in range(n_dev)]
     addr_owner = owners.astype(np.int32)
     addr_slot = np.zeros_like(addr_owner)
+    me = np.arange(n_dev)[:, None]
+    addr_is_local = ((owners == me) & exclude_self)
+    addr_local = np.where(addr_is_local, local_rows, 0).astype(np.int32)
     max_cap = 1
     for r in range(n_dev):
         for o in range(n_dev):
+            if exclude_self and o == r:
+                req_lists[r][o] = np.zeros(0, np.int64)
+                continue
             sel = owners[r] == o
             uniq, inv = np.unique(local_rows[r][sel], return_inverse=True)
             req_lists[r][o] = uniq
@@ -110,11 +126,15 @@ def plan_halo(ids_per_dev: np.ndarray, num_nodes: int, n_dev: int,
             u = req_lists[r][o]
             requests[r, o, :len(u)] = u
     return HaloPlan(requests=requests, addr_owner=addr_owner,
-                    addr_slot=addr_slot, cap=cap, rows_per=rows_per)
+                    addr_slot=addr_slot,
+                    addr_is_local=addr_is_local.astype(np.float32),
+                    addr_local=addr_local, cap=cap, rows_per=rows_per)
 
 
 def halo_gather_local(feats_local: jax.Array, requests: jax.Array,
                       addr_owner: jax.Array, addr_slot: jax.Array,
+                      addr_is_local: jax.Array | None = None,
+                      addr_local: jax.Array | None = None,
                       axis_name: str = "data") -> jax.Array:
     """Per-shard body (call inside shard_map): returns [b_loc, D] features
     for this device's frontier slots.
@@ -122,6 +142,9 @@ def halo_gather_local(feats_local: jax.Array, requests: jax.Array,
     feats_local: [rows_per, D] — this device's feature rows.
     requests:    [n_dev, cap]  — owner-local rows this device requests of
                                  each owner.
+    addr_is_local/addr_local (from exclude_self planning): slots owned by
+    this device read feats_local directly — the gather is independent of
+    the collectives, so XLA can overlap them.
     """
     # 1. ship request tables: after all_to_all, row r holds what device r
     #    wants from *this* device.
@@ -134,7 +157,11 @@ def halo_gather_local(feats_local: jax.Array, requests: jax.Array,
     # 3. assemble: flat gather out of the received buffer.
     cap = requests.shape[1]
     flat = recv.reshape(-1, recv.shape[-1])                 # [n_dev*cap, D]
-    return jnp.take(flat, addr_owner * cap + addr_slot, axis=0)
+    remote = jnp.take(flat, addr_owner * cap + addr_slot, axis=0)
+    if addr_is_local is None:
+        return remote
+    local = jnp.take(feats_local, addr_local, axis=0)
+    return jnp.where(addr_is_local[:, None].astype(bool), local, remote)
 
 
 def make_halo_gather(mesh: Mesh, axis_name: str = "data"):
@@ -142,14 +169,17 @@ def make_halo_gather(mesh: Mesh, axis_name: str = "data"):
     requests [n_dev, n_dev, cap] P(data), addr_owner/addr_slot
     [n_dev, b_loc] P(data)) -> [n_dev * b_loc, D] P(data)."""
 
-    def body(feats_local, requests, addr_owner, addr_slot):
+    def body(feats_local, requests, addr_owner, addr_slot, addr_is_local,
+             addr_local):
         out = halo_gather_local(feats_local, requests[0], addr_owner[0],
-                                addr_slot[0], axis_name)
+                                addr_slot[0], addr_is_local[0],
+                                addr_local[0], axis_name)
         return out  # [b_loc, D]; shard_map concatenates over devices
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None, None),
+                  P(axis_name, None), P(axis_name, None),
                   P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None),
     )

@@ -96,11 +96,13 @@ def sample_dense_host(graph: CSRGraph, batch: np.ndarray, num_layers: int,
 class DistBatch:
     """Device-ready tensors for one distributed step (leading dim =
     mesh data axis)."""
-    requests: np.ndarray     # [n_dev, n_dev, cap]
-    addr_owner: np.ndarray   # [n_dev, u0_loc]
-    addr_slot: np.ndarray    # [n_dev, u0_loc]
-    frontiers: list          # numpy Frontiers stacked [n_dev, ...]
-    labels: np.ndarray       # [n_dev, b_loc]
+    requests: np.ndarray      # [n_dev, n_dev, cap]
+    addr_owner: np.ndarray    # [n_dev, u0_loc]
+    addr_slot: np.ndarray     # [n_dev, u0_loc]
+    addr_is_local: np.ndarray # [n_dev, u0_loc]
+    addr_local: np.ndarray    # [n_dev, u0_loc]
+    frontiers: list           # numpy Frontiers stacked [n_dev, ...]
+    labels: np.ndarray        # [n_dev, b_loc]
 
 
 def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
@@ -127,7 +129,9 @@ def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
                         self_idx=np.stack([f.self_idx for f in fl]))
                for fl in frontier_list]
     return DistBatch(requests=plan.requests, addr_owner=plan.addr_owner,
-                     addr_slot=plan.addr_slot, frontiers=stacked,
+                     addr_slot=plan.addr_slot,
+                     addr_is_local=plan.addr_is_local,
+                     addr_local=plan.addr_local, frontiers=stacked,
                      labels=labels[batch_per_dev].astype(np.int32))
 
 
@@ -138,17 +142,20 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
     -> (params, loss).  params replicated; feats P(data, None)."""
 
     def local_step(params, feats_local, requests, addr_owner, addr_slot,
-                   f_idx, f_mask, f_self, labels):
+                   addr_is_local, addr_local, f_idx, f_mask, f_self,
+                   labels):
         # leading mesh dim of size 1 on each shard — drop it
         requests, addr_owner, addr_slot = (requests[0], addr_owner[0],
                                            addr_slot[0])
+        addr_is_local, addr_local = addr_is_local[0], addr_local[0]
         labels = labels[0]
         frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
                      for i, m, s in zip(f_idx, f_mask, f_self)]
 
         def loss_fn(p):
             x0 = halo_gather_local(feats_local, requests, addr_owner,
-                                   addr_slot, axis)
+                                   addr_slot, addr_is_local, addr_local,
+                                   axis)
             embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
             logp = classifier_apply(p["clf"], embs)
             mask = jnp.ones(labels.shape[0], dtype=embs.dtype)
@@ -169,7 +176,7 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None, None), P(axis, None),
-                  P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None),
                   tuple([P(axis, None, None)] * n_layers),
                   tuple([P(axis, None, None)] * n_layers),
                   tuple([P(axis, None)] * n_layers),
@@ -179,10 +186,11 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
 
     @jax.jit
     def step(params, feats_sharded, requests, addr_owner, addr_slot,
-             f_idx, f_mask, f_self, labels):
+             addr_is_local, addr_local, f_idx, f_mask, f_self, labels):
         new_params, loss = sharded(params, feats_sharded, requests,
-                                   addr_owner, addr_slot, f_idx, f_mask,
-                                   f_self, labels)
+                                   addr_owner, addr_slot, addr_is_local,
+                                   addr_local, f_idx, f_mask, f_self,
+                                   labels)
         return new_params, loss
 
     return step
@@ -199,5 +207,7 @@ def dist_batch_to_device(db: DistBatch, mesh: Mesh, axis: str = "data"):
     return (put(db.requests, P(axis, None, None)),
             put(db.addr_owner, P(axis, None)),
             put(db.addr_slot, P(axis, None)),
+            put(db.addr_is_local, P(axis, None)),
+            put(db.addr_local, P(axis, None)),
             f_idx, f_mask, f_self,
             put(db.labels, P(axis, None)))

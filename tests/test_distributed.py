@@ -72,18 +72,19 @@ def test_distributed_matches_single_device_forward(setup):
 
     # distributed forward via shard_map
     def fwd_local(feats_local, requests, addr_owner, addr_slot,
-                  f_idx, f_mask, f_self):
+                  addr_is_local, addr_local, f_idx, f_mask, f_self):
         frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
                      for i, m, s in zip(f_idx, f_mask, f_self)]
         x0 = halo_gather_local(feats_local, requests[0], addr_owner[0],
-                               addr_slot[0], "data")
+                               addr_slot[0], addr_is_local[0],
+                               addr_local[0], "data")
         return graphsage_apply(params["sage"], mcfg, x0, frontiers)
 
     n_layers = mcfg.num_layers
     fwd = shard_map(
         fwd_local, mesh=mesh,
         in_specs=(P("data", None), P("data", None, None), P("data", None),
-                  P("data", None),
+                  P("data", None), P("data", None), P("data", None),
                   tuple([P("data", None, None)] * n_layers),
                   tuple([P("data", None, None)] * n_layers),
                   tuple([P("data", None)] * n_layers)),
@@ -103,12 +104,15 @@ def test_distributed_matches_single_device_forward(setup):
                               mask=jnp.asarray(f.mask[dcheck]),
                               self_idx=jnp.asarray(f.self_idx[dcheck]))
                      for f in db.frontiers]
-        # reconstruct the x0 ids this shard needed
-        cap = db.requests.shape[2]
+        # reconstruct the x0 ids this shard needed (local slots bypass
+        # the request tables)
         rows_per = shard_features(ds.features, n_dev).shape[0] // n_dev
-        flat_ids = (db.addr_owner[dcheck] * rows_per
-                    + db.requests[dcheck][db.addr_owner[dcheck],
-                                          db.addr_slot[dcheck]])
+        remote_ids = (db.addr_owner[dcheck] * rows_per
+                      + db.requests[dcheck][db.addr_owner[dcheck],
+                                            db.addr_slot[dcheck]])
+        local_ids = dcheck * rows_per + db.addr_local[dcheck]
+        flat_ids = np.where(db.addr_is_local[dcheck] > 0, local_ids,
+                            remote_ids)
         x0 = jnp.take(feats, jnp.asarray(flat_ids), axis=0)
         want = np.asarray(graphsage_apply(params["sage"], mcfg, x0,
                                           frontiers))
@@ -152,8 +156,12 @@ def test_distributed_update_matches_single_device(setup):
                                   mask=jnp.asarray(f.mask[d]),
                                   self_idx=jnp.asarray(f.self_idx[d]))
                          for f in db.frontiers]
-            flat_ids = (db.addr_owner[d] * rows_per
-                        + db.requests[d][db.addr_owner[d], db.addr_slot[d]])
+            remote_ids = (db.addr_owner[d] * rows_per
+                          + db.requests[d][db.addr_owner[d],
+                                           db.addr_slot[d]])
+            local_ids = d * rows_per + db.addr_local[d]
+            flat_ids = np.where(db.addr_is_local[d] > 0, local_ids,
+                                remote_ids)
             x0 = jnp.take(feats, jnp.asarray(flat_ids), axis=0)
             embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
             logp = classifier_apply(p["clf"], embs)

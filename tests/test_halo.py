@@ -40,6 +40,8 @@ def test_halo_gather_matches_direct(mesh):
         jax.device_put(jnp.asarray(plan.requests), sh(P("data", None, None))),
         jax.device_put(jnp.asarray(plan.addr_owner), sh(P("data", None))),
         jax.device_put(jnp.asarray(plan.addr_slot), sh(P("data", None))),
+        jax.device_put(jnp.asarray(plan.addr_is_local), sh(P("data", None))),
+        jax.device_put(jnp.asarray(plan.addr_local), sh(P("data", None))),
     )
     got = np.asarray(out).reshape(n_dev, b_loc, d)
     want = feats[ids]
@@ -65,6 +67,51 @@ def test_halo_gather_duplicate_ids_collapse(mesh):
         jax.device_put(jnp.asarray(plan.requests), sh(P("data", None, None))),
         jax.device_put(jnp.asarray(plan.addr_owner), sh(P("data", None))),
         jax.device_put(jnp.asarray(plan.addr_slot), sh(P("data", None))),
+        jax.device_put(jnp.asarray(plan.addr_is_local), sh(P("data", None))),
+        jax.device_put(jnp.asarray(plan.addr_local), sh(P("data", None))),
     )
     got = np.asarray(out).reshape(ids.shape[0], ids.shape[1], d)
     np.testing.assert_allclose(got, feats[ids], atol=0)
+
+
+def test_locality_reorder_shrinks_halo_cap(mesh):
+    """BFS reordering + local bypass: the request cap (halo payload) must
+    shrink versus scattered node ids on a community graph."""
+    from graphsage_tpu.parallel.partition import bfs_reorder, relabel_graph
+    from tests.test_partition import community_graph
+
+    rng = np.random.RandomState(4)
+    g = community_graph(rng)
+    n_dev = 8
+    # frontier = each device's community-ish node block neighbors
+    ids = rng.randint(0, g.num_nodes, size=(n_dev, 64))
+    plan_scattered = plan_halo(ids, g.num_nodes, n_dev)
+
+    perm = bfs_reorder(g)
+    g2 = relabel_graph(g, perm)
+    rows_per = (g2.num_nodes + n_dev - 1) // n_dev
+    # frontier with locality: each device asks for neighbors of ITS range
+    ids2 = np.zeros((n_dev, 64), np.int64)
+    for d in range(n_dev):
+        own = np.arange(d * rows_per, min((d + 1) * rows_per, g2.num_nodes))
+        cand = np.unique(np.concatenate(
+            [g2.neighbors(int(v)) for v in own[:20]] + [own[:8]]))
+        ids2[d] = cand[rng.randint(0, len(cand), 64)]
+    plan_local = plan_halo(ids2, g2.num_nodes, n_dev)
+
+    def remote_volume(plan):
+        # distinct remote (owner, slot) requests actually addressed
+        total = 0
+        for r in range(n_dev):
+            sel = plan.addr_is_local[r] == 0
+            keys = (plan.addr_owner[r][sel].astype(np.int64) * 10**6
+                    + plan.addr_slot[r][sel])
+            total += len(np.unique(keys))
+        return total
+
+    # locality cuts the number of rows that must ride the collective
+    assert remote_volume(plan_local) < 0.8 * remote_volume(plan_scattered), (
+        remote_volume(plan_local), remote_volume(plan_scattered))
+    # far more slots are local after reorder than with scattered ids
+    assert (plan_local.addr_is_local.mean()
+            > 2 * plan_scattered.addr_is_local.mean())
