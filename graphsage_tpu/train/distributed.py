@@ -137,9 +137,21 @@ def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
 
 # ------------------------------------------------------------------- device
 def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
-                       clip: float = 5.0, axis: str = "data"):
+                       clip: float = 5.0, axis: str = "data",
+                       pretransform: str = "auto"):
     """Returns jit'd step(params, feats_sharded, dist_batch_tensors)
-    -> (params, loss).  params replicated; feats P(data, None)."""
+    -> (params, loss).  params replicated; feats P(data, None).
+
+    pretransform ("auto"/"always" for MEAN non-gcn): each shard transforms
+    its LOCAL feature rows by the layer-1 weight before the halo, so the
+    collective payload is [·, 2H] instead of [·, D] (D/2H-fold traffic cut
+    at wide features) and layer 1 becomes a pure masked mean + relu.
+    Exact by linearity of the mean (same algebra as
+    models.graphsage._mean_pretransform_layer); gradients flow back to W
+    through the all_to_all transpose.
+    """
+    use_pre = (mcfg.agg_func == "MEAN" and not mcfg.gcn
+               and pretransform in ("auto", "always"))
 
     def local_step(params, feats_local, requests, addr_owner, addr_slot,
                    addr_is_local, addr_local, f_idx, f_mask, f_self,
@@ -152,11 +164,41 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
         frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
                      for i, m, s in zip(f_idx, f_mask, f_self)]
 
+        def encode(p):
+            if not use_pre:
+                x0 = halo_gather_local(feats_local, requests, addr_owner,
+                                       addr_slot, addr_is_local,
+                                       addr_local, axis)
+                return graphsage_apply(p["sage"], mcfg, x0, frontiers)
+            w = p["sage"]["layers"][0]["weight"]          # [H, 2D]
+            d = feats_local.shape[1]
+            w_self, w_agg = w[:, :d], w[:, d:]
+            h_local = jnp.concatenate(
+                [jnp.dot(feats_local, w_self.T,
+                         preferred_element_type=jnp.float32),
+                 jnp.dot(feats_local, w_agg.T,
+                         preferred_element_type=jnp.float32)],
+                axis=1).astype(feats_local.dtype)          # [rows, 2H]
+            x0t = halo_gather_local(h_local, requests, addr_owner,
+                                    addr_slot, addr_is_local, addr_local,
+                                    axis)                  # [u0, 2H]
+            hdim = w.shape[0]
+            f0 = frontiers[0]
+            from graphsage_tpu.ops.aggregate import mean_aggregate
+            agg = mean_aggregate(x0t[:, hdim:], f0.idx, f0.mask)
+            h = jax.nn.relu(agg + jnp.take(x0t[:, :hdim], f0.self_idx,
+                                           axis=0))
+            for layer in range(1, mcfg.num_layers):
+                fl = frontiers[layer]
+                agg = mean_aggregate(h, fl.idx, fl.mask)
+                from graphsage_tpu.models.layers import sage_layer_apply
+                h = sage_layer_apply(p["sage"]["layers"][layer],
+                                     jnp.take(h, fl.self_idx, axis=0),
+                                     agg, gcn=False)
+            return h
+
         def loss_fn(p):
-            x0 = halo_gather_local(feats_local, requests, addr_owner,
-                                   addr_slot, addr_is_local, addr_local,
-                                   axis)
-            embs = graphsage_apply(p["sage"], mcfg, x0, frontiers)
+            embs = encode(p)
             logp = classifier_apply(p["clf"], embs)
             mask = jnp.ones(labels.shape[0], dtype=embs.dtype)
             # the pmean lives INSIDE the differentiated function so autodiff
