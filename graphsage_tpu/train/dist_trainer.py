@@ -1,0 +1,186 @@
+"""Distributed trainer: the full supervised protocol over a device mesh.
+
+Combines the pieces into a training loop for edge-partitioned graphs
+(BASELINE config 5): locality reorder → sharded feature table → per-step
+host frontier build (C++ sampler) → SPMD halo step → periodic best-val→test
+evaluation.  On a multi-host slice each process feeds its own shard rows
+(parallel/multihost.py); on one host the mesh spans local devices.
+
+The evaluation protocol matches Trainer.evaluate (reference
+src/utils.py:13-57) but embeds through the distributed forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from graphsage_tpu.data.loaders import Dataset
+from graphsage_tpu.models import GraphSageConfig, classifier_apply
+from graphsage_tpu.models.graphsage import Frontier, graphsage_apply
+from graphsage_tpu.models import init_graphsage
+from graphsage_tpu.models.layers import init_classifier
+from graphsage_tpu.parallel.halo import halo_gather_local, shard_features
+from graphsage_tpu.parallel.partition import bfs_reorder, relabel_dataset
+from graphsage_tpu.train.distributed import (
+    build_dist_batch,
+    dist_batch_to_device,
+    make_dist_sup_step,
+)
+from graphsage_tpu.train.metrics import micro_f1
+
+
+def make_dist_forward(mcfg: GraphSageConfig, mesh: Mesh,
+                      axis: str = "data"):
+    """jit'd forward: (sage_params, feats_sharded, dist tensors minus
+    labels) -> [n_dev * b_loc, out_size] embeddings."""
+
+    def fwd_local(sage_params, feats_local, requests, addr_owner,
+                  addr_slot, addr_is_local, addr_local, f_idx, f_mask,
+                  f_self):
+        frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
+                     for i, m, s in zip(f_idx, f_mask, f_self)]
+        x0 = halo_gather_local(feats_local, requests[0], addr_owner[0],
+                               addr_slot[0], addr_is_local[0],
+                               addr_local[0], axis)
+        return graphsage_apply(sage_params, mcfg, x0, frontiers)
+
+    n_layers = mcfg.num_layers
+    return jax.jit(shard_map(
+        fwd_local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None),
+                  tuple([P(axis, None, None)] * n_layers),
+                  tuple([P(axis, None, None)] * n_layers),
+                  tuple([P(axis, None)] * n_layers)),
+        out_specs=P(axis, None)))
+
+
+@dataclasses.dataclass
+class DistTrainConfig:
+    b_loc: int = 128            # batch per device
+    epochs: int = 10
+    lr: float = 0.7
+    clip: float = 5.0
+    fanout: int = 10
+    seed: int = 824
+    reorder: bool = True        # BFS locality reorder before sharding
+    verbose: bool = True
+
+
+class DistTrainer:
+    def __init__(self, dataset: Dataset, mcfg: GraphSageConfig,
+                 tcfg: DistTrainConfig, mesh: Mesh | None = None):
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
+        self.mesh = mesh
+        self.n_dev = int(np.prod(mesh.devices.shape))
+        if tcfg.reorder:
+            dataset = relabel_dataset(dataset, bfs_reorder(dataset.graph))
+        self.ds = dataset
+        self.mcfg = mcfg
+        self.tcfg = tcfg
+        self.rng = np.random.RandomState(tcfg.seed)
+
+        key = jax.random.PRNGKey(tcfg.seed)
+
+        @jax.jit
+        def _init(key):
+            k1, k2 = jax.random.split(key)
+            return {
+                "sage": init_graphsage(k1, mcfg),
+                "clf": init_classifier(k2, mcfg.out_size,
+                                       dataset.num_classes),
+            }
+
+        repl = NamedSharding(mesh, P())
+        self.params = jax.device_put(jax.device_get(_init(key)), repl)
+        self.feats_sharded = jax.device_put(
+            jnp.asarray(shard_features(dataset.features, self.n_dev)),
+            NamedSharding(mesh, P("data", None)))
+        self._step = make_dist_sup_step(mcfg, mesh, lr=tcfg.lr,
+                                        clip=tcfg.clip)
+        self._fwd = make_dist_forward(mcfg, mesh)
+        self.max_vali_f1 = 0.0
+        self.epoch = 0
+        self.history: list[dict] = []
+
+    # ---------------------------------------------------------------- train
+    def train_epoch(self) -> float:
+        tcfg = self.tcfg
+        order = self.rng.permutation(self.ds.train_nodes)
+        per_step = self.n_dev * tcfg.b_loc
+        steps = max(1, len(order) // per_step)
+        losses = []
+        for si in range(steps):
+            chunk = order[si * per_step:(si + 1) * per_step]
+            if len(chunk) < per_step:  # pad the tail step with repeats
+                chunk = np.resize(chunk, per_step)
+            batch = chunk.reshape(self.n_dev, tcfg.b_loc)
+            db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
+                                  self.mcfg.num_layers, tcfg.fanout,
+                                  seed=int(self.rng.randint(2**31)))
+            args = dist_batch_to_device(db, self.mesh)
+            self.params, loss = self._step(self.params, self.feats_sharded,
+                                           *args)
+            losses.append(loss)
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        if tcfg.verbose:
+            print(f"dist epoch {self.epoch}: mean loss {mean_loss:.4f} "
+                  f"({steps} steps x {per_step} nodes)")
+        return mean_loss
+
+    # ----------------------------------------------------------------- eval
+    def embed_nodes(self, nodes: np.ndarray) -> np.ndarray:
+        """Distributed forward over arbitrary nodes (padded to a full
+        device grid)."""
+        per = self.n_dev * self.tcfg.b_loc
+        out = np.zeros((len(nodes), self.mcfg.out_size), np.float32)
+        for lo in range(0, len(nodes), per):
+            chunk = nodes[lo:lo + per]
+            real = len(chunk)
+            if real < per:
+                chunk = np.resize(chunk, per)
+            batch = np.asarray(chunk).reshape(self.n_dev, self.tcfg.b_loc)
+            db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
+                                  self.mcfg.num_layers, self.tcfg.fanout,
+                                  seed=int(self.rng.randint(2**31)))
+            args = dist_batch_to_device(db, self.mesh)
+            embs = self._fwd(self.params["sage"], self.feats_sharded,
+                             *args[:-1])
+            out[lo:lo + real] = np.asarray(embs)[:real]
+        return out
+
+    def evaluate(self) -> float:
+        val, test = self.ds.val_nodes, self.ds.test_nodes
+        logp = classifier_apply(self.params["clf"],
+                                jnp.asarray(self.embed_nodes(val)))
+        pred = np.asarray(jnp.argmax(logp, axis=1))
+        vali_f1 = micro_f1(self.ds.labels[val], pred)
+        entry = {"epoch": self.epoch, "val_f1": vali_f1}
+        if self.tcfg.verbose:
+            print(f"Validation F1: {vali_f1:.4f}")
+        if vali_f1 > self.max_vali_f1:
+            self.max_vali_f1 = vali_f1
+            logp = classifier_apply(self.params["clf"],
+                                    jnp.asarray(self.embed_nodes(test)))
+            pred = np.asarray(jnp.argmax(logp, axis=1))
+            entry["test_f1"] = micro_f1(self.ds.labels[test], pred)
+            if self.tcfg.verbose:
+                print(f"Test F1: {entry['test_f1']:.4f}")
+        self.history.append(entry)
+        return self.max_vali_f1
+
+    def fit(self) -> float:
+        for epoch in range(self.tcfg.epochs):
+            self.epoch = epoch
+            self.train_epoch()
+            self.evaluate()
+        return self.max_vali_f1

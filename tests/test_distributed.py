@@ -179,3 +179,20 @@ def test_distributed_update_matches_single_device(setup):
                     jax.tree_util.tree_leaves(want_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_dist_trainer_end_to_end():
+    """Full distributed protocol on the 8-device mesh: trains, evaluates,
+    and learns above chance on a community-structured synthetic graph."""
+    from jax.sharding import Mesh
+    from graphsage_tpu.data import synthetic_power_law
+    from graphsage_tpu.train.dist_trainer import DistTrainer, DistTrainConfig
+
+    ds = synthetic_power_law(800, 4000, num_feats=24, num_classes=4, seed=9)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+    mcfg = GraphSageConfig(num_layers=2, input_size=24, out_size=16)
+    tcfg = DistTrainConfig(b_loc=16, epochs=3, lr=0.3, fanout=4, seed=1,
+                           verbose=False)
+    tr = DistTrainer(ds, mcfg, tcfg, mesh=mesh)
+    best = tr.fit()
+    assert best > 0.4, (best, tr.history)
