@@ -80,3 +80,49 @@ def test_dense_unsup_step(setup, kind, method):
 def test_edges_per_batch_formula():
     assert edges_per_batch(20, 2, 10) == 20 * 10 + 20 * 11 * 10
     assert edges_per_batch(1, 1, 5) == 5
+
+
+def test_dense_equals_compact_under_takeall():
+    """With fanout >= max degree both pipelines sample deterministically
+    (take-all), so the dense per-occurrence forward must equal the compact
+    dedup forward for the same batch and params."""
+    from graphsage_tpu.data import CSRGraph
+    from graphsage_tpu.models.graphsage import (
+        graphsage_apply,
+        graphsage_apply_gathered,
+    )
+    from graphsage_tpu.sampler import build_compact_batch
+    from graphsage_tpu.sampler.device import sample_frontiers_dense
+
+    rng = np.random.RandomState(0)
+    n = 40
+    src = np.concatenate([np.arange(n), rng.randint(0, n, 60)])
+    dst = np.concatenate([(np.arange(n) + 1) % n, rng.randint(0, n, 60)])
+    keep = src != dst
+    g = CSRGraph.from_edges(n, src[keep], dst[keep])
+    d, h = 8, 6
+    feats = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    fanout = int(g.degrees.max()) + 1
+
+    mcfg = GraphSageConfig(num_layers=2, input_size=d, out_size=h)
+    params = {"sage": init_graphsage(jax.random.PRNGKey(3), mcfg)}
+    batch = rng.choice(n, 7, replace=False)
+
+    pad = g.to_padded()
+    x0_ids, frontiers = sample_frontiers_dense(
+        jax.random.PRNGKey(5), jnp.asarray(pad.neighbors),
+        jnp.asarray(pad.degrees), jnp.asarray(batch.astype(np.int32)),
+        num_layers=2, fanout=fanout)
+    dense_out = np.asarray(graphsage_apply_gathered(
+        params["sage"], mcfg, feats, x0_ids, frontiers))
+
+    cb = build_compact_batch(g, batch, np.random.RandomState(1),
+                             num_layers=2, fanout=fanout, native="never")
+    x0 = feats[jnp.asarray(cb.x0_ids)]
+    cfront = jax.tree_util.tree_map(jnp.asarray, list(cb.frontiers))
+    compact_out = np.asarray(graphsage_apply(params["sage"], mcfg, x0,
+                                             cfront))
+
+    np.testing.assert_allclose(dense_out[:len(batch)],
+                               compact_out[:len(batch)],
+                               rtol=2e-5, atol=2e-5)
