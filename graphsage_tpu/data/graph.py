@@ -135,3 +135,30 @@ class PaddedAdjacency:
     @property
     def num_nodes(self) -> int:
         return int(self.neighbors.shape[0])
+
+    def subsample(self, cap: int,
+                  rng: np.random.RandomState) -> "PaddedAdjacency":
+        """Random ``cap``-subset per row (take-all below cap).
+
+        Composition of uniform subset draws is uniform: sampling K of the
+        cap-subset afterwards is EXACTLY uniform K-of-degree sampling
+        (P(any j-set of size K) = [C(deg-K, cap-K)/C(deg,cap)]·1/C(cap,K)
+        = 1/C(deg,K)).  Refreshing the subset per epoch gives the classic
+        neighbor-cache design: device-side samplers work over a width-cap
+        table (5x smaller than Cora's max degree) with unchanged sampling
+        semantics per draw.
+        """
+        n, p = self.neighbors.shape
+        if cap >= p:
+            return self
+        keys = rng.rand(n, p)
+        keys[np.arange(p)[None, :] >= self.degrees[:, None]] = np.inf
+        order = np.argsort(keys, axis=1)[:, :cap]
+        table = np.take_along_axis(self.neighbors, order, axis=1)
+        new_deg = np.minimum(self.degrees, cap).astype(np.int32)
+        return PaddedAdjacency(
+            neighbors=np.ascontiguousarray(table),
+            degrees=new_deg,
+            true_degrees=self.true_degrees,
+            truncated=bool((self.degrees > cap).any()),
+        )

@@ -82,3 +82,34 @@ def test_walk_positives_uniform_over_neighbors():
     expected = total / deg
     assert np.all(np.abs(counts[1:] - expected) < 5 * np.sqrt(expected)), \
         counts
+
+
+def test_subsampled_table_is_exactly_uniform():
+    """Sampling K of a random cap-subset == uniform K-of-degree (subset
+    composition).  Frequency check with per-draw resubsampling."""
+    from graphsage_tpu.sampler.device import _sample_one_hop
+    deg, cap, fanout, trials = 20, 12, 10, 300
+    g = star_graph(deg)
+    pad = g.to_padded()
+    rng = np.random.RandomState(0)
+    counts = np.zeros(deg + 1)
+    key = jax.random.PRNGKey(0)
+    nodes = jnp.zeros(4, dtype=jnp.int32)
+    fn = jax.jit(lambda k, nb, dg: _sample_one_hop(k, nb, dg, nodes,
+                                                   fanout))
+    for t in range(trials // 4):
+        sub = pad.subsample(cap, rng)
+        key, sk = jax.random.split(key)
+        samples, valid = fn(sk, jnp.asarray(sub.neighbors),
+                            jnp.asarray(sub.degrees))
+        s = np.asarray(samples)[np.asarray(valid)]
+        for x in s:
+            counts[x] += 1
+        # no replacement within each row
+        for r in range(4):
+            row = np.asarray(samples)[r][np.asarray(valid)[r]]
+            assert len(set(row.tolist())) == len(row)
+    total = counts.sum()
+    expected = total / deg
+    assert np.all(np.abs(counts[1:] - expected) < 5 * np.sqrt(expected)), \
+        counts
