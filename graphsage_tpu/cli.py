@@ -117,11 +117,13 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
         import jax
         trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
-        trainer.epoch = epoch
+        # the checkpoint records the epoch it was written in; training
+        # continues at the next one
+        trainer.epoch = epoch + 1
         trainer.max_vali_f1 = best
         trainer.rng = rng
         if not args.quiet:
-            print(f"resumed from {args.resume} at epoch {epoch}, "
+            print(f"resumed from {args.resume} after epoch {epoch}, "
                   f"best val F1 {best:.4f}")
 
     if args.learn_method == "sup":

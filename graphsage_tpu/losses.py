@@ -41,40 +41,54 @@ def _masked_mean(x: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
     return s / jnp.maximum(c, 1.0)
 
 
+def _unsup_loss_from_cosines(pos_cos, pos_mask, neg_cos, neg_mask,
+                             node_valid, kind: str, q: float,
+                             margin: float) -> jax.Array:
+    """Shared per-node reductions over pair cosine scores.
+
+    normal (reference src/models.py:65-98): per node
+    mean_pos(−log σ(cos)) − Q·mean_neg(log σ(−cos)).  (The reference
+    computes mean(−pos_vec − neg_scalar) = mean(−pos_vec) − neg_scalar.)
+    margin (reference src/models.py:100-132): per node
+    relu(max_neg − min_pos + margin) on log σ(cos) scores.
+    Loss = mean over nodes with ≥1 valid pos and neg pair.
+    """
+    if kind == "normal":
+        pos_term = _masked_mean(-jax.nn.log_sigmoid(pos_cos), pos_mask, 1)
+        neg_term = q * _masked_mean(jax.nn.log_sigmoid(-neg_cos),
+                                    neg_mask, 1)
+        per_node = pos_term - neg_term
+    elif kind == "margin":
+        big = jnp.asarray(1e30, pos_cos.dtype)
+        pos_s = jax.nn.log_sigmoid(pos_cos)
+        neg_s = jax.nn.log_sigmoid(neg_cos)
+        pos_min = jnp.min(jnp.where(pos_mask > 0, pos_s, big), axis=1)
+        neg_max = jnp.max(jnp.where(neg_mask > 0, neg_s, -big), axis=1)
+        per_node = jax.nn.relu(neg_max - pos_min + margin)
+    else:
+        raise ValueError("unsup_loss can be only 'margin' or 'normal'.")
+    return (jnp.sum(per_node * node_valid)
+            / jnp.maximum(jnp.sum(node_valid), 1.0))
+
+
 def unsup_loss_normal(embeddings: jax.Array, pos_p, pos_q, pos_mask,
                       neg_p, neg_q, neg_mask, node_valid,
                       q: float = 10.0) -> jax.Array:
-    """Negative-sampling objective (reference src/models.py:65-98).
-
-    Per node: score = mean_pos(−log σ(cos_pos)) − Q·mean_neg(log σ(−cos_neg));
-    loss = mean over valid nodes.  (The reference computes
-    mean(−pos_vec − neg_scalar) which equals mean(−pos_vec) − neg_scalar.)
-    """
+    """Negative-sampling objective (reference src/models.py:65-98)."""
     pos_cos = pair_cosine(embeddings, pos_p, pos_q)      # [B, P]
     neg_cos = pair_cosine(embeddings, neg_p, neg_q)      # [B, M]
-    pos_term = _masked_mean(-jax.nn.log_sigmoid(pos_cos), pos_mask, 1)
-    neg_term = q * _masked_mean(jax.nn.log_sigmoid(-neg_cos), neg_mask, 1)
-    per_node = pos_term - neg_term                       # [B]
-    return (jnp.sum(per_node * node_valid)
-            / jnp.maximum(jnp.sum(node_valid), 1.0))
+    return _unsup_loss_from_cosines(pos_cos, pos_mask, neg_cos, neg_mask,
+                                    node_valid, "normal", q, 0.0)
 
 
 def unsup_loss_margin(embeddings: jax.Array, pos_p, pos_q, pos_mask,
                       neg_p, neg_q, neg_mask, node_valid,
                       margin: float = 3.0) -> jax.Array:
-    """Hinge objective (reference src/models.py:100-132).
-
-    Per node: relu(max_neg − min_pos + margin) with scores log σ(cos);
-    min over positives, max over negatives, masked slots excluded.
-    """
-    pos_s = jax.nn.log_sigmoid(pair_cosine(embeddings, pos_p, pos_q))
-    neg_s = jax.nn.log_sigmoid(pair_cosine(embeddings, neg_p, neg_q))
-    big = jnp.asarray(1e30, embeddings.dtype)
-    pos_min = jnp.min(jnp.where(pos_mask > 0, pos_s, big), axis=1)
-    neg_max = jnp.max(jnp.where(neg_mask > 0, neg_s, -big), axis=1)
-    per_node = jax.nn.relu(neg_max - pos_min + margin)
-    return (jnp.sum(per_node * node_valid)
-            / jnp.maximum(jnp.sum(node_valid), 1.0))
+    """Hinge objective (reference src/models.py:100-132)."""
+    pos_cos = pair_cosine(embeddings, pos_p, pos_q)
+    neg_cos = pair_cosine(embeddings, neg_p, neg_q)
+    return _unsup_loss_from_cosines(pos_cos, pos_mask, neg_cos, neg_mask,
+                                    node_valid, "margin", 0.0, margin)
 
 
 def unsup_loss_from_pairbatch(embeddings: jax.Array, pb_tensors: dict,
@@ -94,22 +108,10 @@ def unsup_loss_from_pairbatch(embeddings: jax.Array, pb_tensors: dict,
         scores = dense_pair_scores(embeddings, target_rows)      # [B, U]
         pos_cos = sample_scores(scores, pb_tensors["pos_q"])
         neg_cos = sample_scores(scores, pb_tensors["neg_q"])
-        pm, nm, nv = (pb_tensors["pos_mask"], pb_tensors["neg_mask"],
-                      pb_tensors["node_valid"])
-        if kind == "normal":
-            pos_term = _masked_mean(-jax.nn.log_sigmoid(pos_cos), pm, 1)
-            neg_term = q * _masked_mean(jax.nn.log_sigmoid(-neg_cos), nm, 1)
-            per_node = pos_term - neg_term
-        elif kind == "margin":
-            big = jnp.asarray(1e30, embeddings.dtype)
-            pos_s = jax.nn.log_sigmoid(pos_cos)
-            neg_s = jax.nn.log_sigmoid(neg_cos)
-            pos_min = jnp.min(jnp.where(pm > 0, pos_s, big), axis=1)
-            neg_max = jnp.max(jnp.where(nm > 0, neg_s, -big), axis=1)
-            per_node = jax.nn.relu(neg_max - pos_min + margin)
-        else:
-            raise ValueError("unsup_loss can be only 'margin' or 'normal'.")
-        return jnp.sum(per_node * nv) / jnp.maximum(jnp.sum(nv), 1.0)
+        return _unsup_loss_from_cosines(
+            pos_cos, pb_tensors["pos_mask"], neg_cos,
+            pb_tensors["neg_mask"], pb_tensors["node_valid"], kind, q,
+            margin)
 
     args = (embeddings, pb_tensors["pos_p"], pb_tensors["pos_q"],
             pb_tensors["pos_mask"], pb_tensors["neg_p"], pb_tensors["neg_q"],

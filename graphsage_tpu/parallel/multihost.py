@@ -31,20 +31,32 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """Initialize jax.distributed when running multi-process; safe no-op in
     a single-process session.  On Cloud TPU the arguments are discovered
-    automatically from the metadata server."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    automatically from the metadata server.
+
+    MUST be called before any other JAX API use (anything that initializes
+    the XLA backend) — ordering errors are surfaced, not swallowed, so a
+    multi-host job cannot silently degrade into independent single-host
+    runs.
+    """
     try:
         if coordinator_address or num_processes:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
         else:
-            # auto-discovery path (TPU metadata); harmless failure in
-            # single-process environments
-            jax.distributed.initialize()
-    except Exception:
-        pass
+            jax.distributed.initialize()  # auto-discovery (TPU metadata)
+    except ValueError as e:
+        # single-process environment: auto-discovery finds no coordinator
+        # ("coordinator_address should be defined") — benign no-op
+        if coordinator_address or num_processes:
+            raise
+        if "coordinator_address" not in str(e):
+            raise
+    except RuntimeError as e:
+        # "already initialized" is benign on re-entry; backend-ordering
+        # errors are real failures and must propagate
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_global_mesh(axis: str = "data") -> Mesh:

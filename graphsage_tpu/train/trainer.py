@@ -311,9 +311,11 @@ class Trainer:
         return self.max_vali_f1
 
     def fit(self) -> float:
-        """Full outer loop (reference src/main.py:70-76)."""
+        """Full outer loop (reference src/main.py:70-76).  Starts at
+        ``self.epoch`` so a resumed trainer continues from the checkpointed
+        epoch instead of re-running the full count."""
         tcfg = self.tcfg
-        for epoch in range(tcfg.epochs):
+        for epoch in range(self.epoch, tcfg.epochs):
             self.epoch = epoch
             if tcfg.verbose:
                 print(f"----------------------EPOCH {epoch}"

@@ -41,3 +41,34 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # RNG resumes mid-stream
     np.testing.assert_array_equal(r_rng.rand(5), expected_next)
+
+
+def test_resume_continues_from_checkpointed_epoch(tmp_path):
+    """fit() must continue at the checkpointed epoch, not re-run the full
+    count (code-review finding)."""
+    from graphsage_tpu.data import synthetic_power_law
+    from graphsage_tpu.models import GraphSageConfig
+    from graphsage_tpu.train import Trainer, TrainConfig
+
+    ds = synthetic_power_law(120, 500, num_feats=8, num_classes=3, seed=1)
+    mcfg = GraphSageConfig(num_layers=1, input_size=8, out_size=8)
+    tcfg = TrainConfig(learn_method="sup", epochs=2, b_sz=32, seed=3,
+                       verbose=False)
+    tr = Trainer(ds, mcfg, tcfg)
+    tr.fit()
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, tr.params, tr.epoch, tr.max_vali_f1, tr.rng)
+    assert tr.epoch == 1  # last epoch ran
+
+    tcfg2 = TrainConfig(learn_method="sup", epochs=4, b_sz=32, seed=3,
+                        verbose=False)
+    tr2 = Trainer(ds, mcfg, tcfg2)
+    params, epoch, best, rng = restore_checkpoint(path, tr2.params)
+    import jax.numpy as jnp
+    tr2.params = jax.tree_util.tree_map(jnp.asarray, params)
+    tr2.epoch = epoch + 1   # continue after the checkpointed epoch
+    tr2.max_vali_f1 = best
+    tr2.rng = rng
+    tr2.fit()
+    ran_epochs = [h["epoch"] for h in tr2.history]
+    assert ran_epochs == [2, 3], ran_epochs
