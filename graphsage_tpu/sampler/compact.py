@@ -106,11 +106,27 @@ def sample_neighbor_sets(graph: CSRGraph, nodes: Sequence[int],
     return out
 
 
+def shuffle_frontier_slots(frontiers, rng: np.random.RandomState):
+    """Jointly permute each row's neighbor slots (idx+mask) — gives the
+    LSTM aggregator the random neighbor order the GraphSAGE paper
+    prescribes (order-invariant aggregators are unaffected; masked pads
+    are skipped wherever they land)."""
+    out = []
+    for f in frontiers:
+        u, s_ = f.idx.shape
+        order = np.argsort(rng.rand(u, s_), axis=1)
+        out.append(Frontier(
+            idx=np.take_along_axis(f.idx, order, axis=1),
+            mask=np.take_along_axis(f.mask, order, axis=1),
+            self_idx=f.self_idx))
+    return tuple(out)
+
+
 def build_compact_batch(graph: CSRGraph, batch_nodes: np.ndarray,
                         rng: np.random.RandomState, num_layers: int = 2,
                         fanout: int = 10, gcn: bool = False,
                         sample_sets: list[list[set]] | None = None,
-                        bucket: bool = True,
+                        bucket: bool = True, shuffle_slots: bool = False,
                         native: str = "auto") -> CompactBatch:
     """Build per-layer padded frontiers for a batch.
 
@@ -129,6 +145,9 @@ def build_compact_batch(graph: CSRGraph, batch_nodes: np.ndarray,
         cb = _build_compact_batch_native(graph, batch_nodes, rng,
                                          num_layers, fanout, gcn)
         if cb is not None:
+            if shuffle_slots:
+                cb = dataclasses.replace(
+                    cb, frontiers=shuffle_frontier_slots(cb.frontiers, rng))
             return cb
 
     # --- top-down sampling: build union lists (reference src/models.py:246-253)
@@ -180,10 +199,13 @@ def build_compact_batch(graph: CSRGraph, batch_nodes: np.ndarray,
     x0_ids = np.zeros(u0_pad, dtype=np.int32)
     x0_ids[:len(deepest)] = deepest
 
+    fr = tuple(frontiers)
+    if shuffle_slots:
+        fr = shuffle_frontier_slots(fr, rng)
     return CompactBatch(
         x0_ids=x0_ids,
-        frontiers=tuple(frontiers),
+        frontiers=fr,
         batch_nodes=batch_nodes.astype(np.int32),
         batch_size=len(batch_nodes),
-        out_rows=frontiers[-1].idx.shape[0],
+        out_rows=fr[-1].idx.shape[0],
     )

@@ -187,7 +187,8 @@ class Trainer:
         padded[:len(nodes)] = nodes
         cb = build_compact_batch(self.ds.graph, padded, self.rng,
                                  num_layers=self.mcfg.num_layers,
-                                 fanout=self.tcfg.fanout, gcn=self.mcfg.gcn)
+                                 fanout=self.tcfg.fanout, gcn=self.mcfg.gcn,
+                                 shuffle_slots=self.mcfg.agg_func == "LSTM")
         frontiers = jax.tree_util.tree_map(jnp.asarray, list(cb.frontiers))
         embs = self._embed_fn(sage_params, self.feats,
                               jnp.asarray(cb.x0_ids), frontiers)
@@ -256,7 +257,8 @@ class Trainer:
             cb = build_compact_batch(
                 self.ds.graph, pb.unique_nodes, self.rng,
                 num_layers=self.mcfg.num_layers, fanout=tcfg.fanout,
-                gcn=self.mcfg.gcn)
+                gcn=self.mcfg.gcn,
+                shuffle_slots=self.mcfg.agg_func == "LSTM")
             u_pad = cb.out_rows
             labels = np.zeros(u_pad, dtype=np.int32)
             real = pb.unique_nodes[:pb.num_unique]
