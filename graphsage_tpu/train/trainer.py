@@ -278,8 +278,12 @@ class Trainer:
                 print(f"Step [{bi + 1}/{batches}], Loss: {loss:.4f}, "
                       f"Dealed Nodes [{len(visited)}/{len(train_nodes)}]")
             losses.append(loss)
-        # quiet mode defers every loss fetch to here so step dispatch runs
-        # ahead of the device (hides per-step host<->device latency)
+            # quiet mode keeps a bounded dispatch window: sync the loss
+            # from a few steps back so dispatch runs ahead of the device
+            # (hides per-step latency) without flooding the backend queue
+            # (unbounded async dispatch deadlocks the remote TPU backend)
+            if not tcfg.verbose and bi >= 4:
+                losses[bi - 4] = float(losses[bi - 4])
         mean_loss = float(np.mean([float(l) for l in losses]))
         self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
                          visited_nodes=len(visited),
