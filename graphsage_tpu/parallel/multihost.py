@@ -53,9 +53,11 @@ def initialize(coordinator_address: str | None = None,
         if "coordinator_address" not in str(e):
             raise
     except RuntimeError as e:
-        # "already initialized" is benign on re-entry; backend-ordering
-        # errors are real failures and must propagate
-        if "already" not in str(e).lower():
+        # re-entry is benign (jax 0.9 raises "distributed.initialize
+        # should only be called once."); backend-ordering errors are real
+        # failures and must propagate
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 

@@ -91,3 +91,38 @@ def test_uniform_negative_mode():
     assert len(set(negs.tolist())) == 10
     # closure cache untouched in uniform mode
     assert not ps._closure_cache
+
+
+def test_multihost_initialize_reentry_is_noop(monkeypatch):
+    """initialize() must tolerate double-init (jax raises 'should only be
+    called once'), surface ordering errors, and no-op single-process."""
+    import graphsage_tpu.parallel.multihost as mh
+
+    calls = []
+
+    def fake_init(**kw):
+        calls.append(kw)
+        if len(calls) == 1:
+            return  # first call succeeds
+        raise RuntimeError("distributed.initialize should only be called "
+                           "once.")
+
+    monkeypatch.setattr(mh.jax.distributed, "initialize", fake_init)
+    mh.initialize(coordinator_address="x:1", num_processes=2, process_id=0)
+    mh.initialize(coordinator_address="x:1", num_processes=2, process_id=0)
+    assert len(calls) == 2  # second call swallowed the re-entry error
+
+    def ordering_error(**kw):
+        raise RuntimeError("must be called before any JAX calls")
+
+    monkeypatch.setattr(mh.jax.distributed, "initialize", ordering_error)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        mh.initialize(coordinator_address="x:1", num_processes=2,
+                      process_id=0)
+
+    def no_coordinator(**kw):
+        raise ValueError("coordinator_address should be defined.")
+
+    monkeypatch.setattr(mh.jax.distributed, "initialize", no_coordinator)
+    mh.initialize()  # single-process auto-discovery: benign no-op
