@@ -62,3 +62,26 @@ def test_cli_parser_reference_flags():
     assert (d.agg_func, d.epochs, d.b_sz, d.seed) == ("MEAN", 50, 20, 824)
     assert (d.learn_method, d.unsup_loss, d.name) == ("sup", "normal",
                                                       "debug")
+
+
+def test_cli_main_end_to_end(tmp_path):
+    """Full CLI wiring on a tiny synthetic dataset: trains one epoch,
+    evaluates, writes a checkpoint, logs metrics."""
+    import json
+
+    from graphsage_tpu.cli import main
+
+    metrics = tmp_path / "m.jsonl"
+    rc = main(["--dataSet", "powerlaw:200:800", "--epochs", "1",
+               "--b_sz", "32", "--hidden", "16", "--fanout", "4",
+               "--seed", "3", "--quiet",
+               "--checkpoint_dir", str(tmp_path / "ck"),
+               "--metrics", str(metrics)])
+    assert rc == 0
+    events = [json.loads(l) for l in metrics.read_text().splitlines()]
+    kinds = {e["event"] for e in events}
+    assert {"epoch", "eval"} <= kinds
+    # best-val improvement must have produced a checkpoint directory
+    import os
+    cks = os.listdir(tmp_path / "ck")
+    assert any(c.startswith("model_best_") for c in cks), cks
