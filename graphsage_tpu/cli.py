@@ -51,7 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume from")
-    p.add_argument("--strict_clf_eval", action="store_true")
+    p.add_argument("--strict_clf_eval", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="re-embed val/test each classifier epoch exactly "
+                        "like the reference (default); --no-strict_clf_eval "
+                        "scores on cached embeddings (fast path)")
     p.add_argument("--data_root", type=str, default=None,
                    help="dataset directory override")
     p.add_argument("--quiet", action="store_true")

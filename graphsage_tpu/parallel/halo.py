@@ -96,35 +96,42 @@ def plan_halo(ids_per_dev: np.ndarray, num_nodes: int, n_dev: int,
     assert n_dev_in == n_dev
     rows_per = partition_bounds(num_nodes, n_dev)
 
-    owners = ids_per_dev // rows_per                    # [n_dev, b_loc]
-    local_rows = ids_per_dev % rows_per
+    owners = (ids_per_dev // rows_per).astype(np.int64)  # [n_dev, b_loc]
+    local_rows = (ids_per_dev % rows_per).astype(np.int64)
 
-    req_lists = [[None] * n_dev for _ in range(n_dev)]
-    addr_owner = owners.astype(np.int32)
-    addr_slot = np.zeros_like(addr_owner)
     me = np.arange(n_dev)[:, None]
     addr_is_local = ((owners == me) & exclude_self)
     addr_local = np.where(addr_is_local, local_rows, 0).astype(np.int32)
-    max_cap = 1
-    for r in range(n_dev):
-        for o in range(n_dev):
-            if exclude_self and o == r:
-                req_lists[r][o] = np.zeros(0, np.int64)
-                continue
-            sel = owners[r] == o
-            uniq, inv = np.unique(local_rows[r][sel], return_inverse=True)
-            req_lists[r][o] = uniq
-            addr_slot[r][sel] = inv
-            max_cap = max(max_cap, len(uniq))
+    addr_owner = owners.astype(np.int32)
+    addr_slot = np.zeros((n_dev, b_loc), np.int32)
+
+    # One global sort instead of an n_dev² Python loop: the composite key
+    # (requester, owner, local_row) is unique'd once — O(T log T) in the
+    # total slot count T = n_dev·b_loc — and, because np.unique returns
+    # sorted keys, entries of the same (requester, owner) group are
+    # contiguous, so per-group slot numbers are a subtraction against the
+    # group's start offset.
+    requester = np.broadcast_to(np.arange(n_dev)[:, None],
+                                owners.shape).astype(np.int64)
+    key = (requester * n_dev + owners) * rows_per + local_rows
+    sel = ~addr_is_local.reshape(-1)             # slots that go over the wire
+    uniq, inv = np.unique(key.reshape(-1)[sel], return_inverse=True)
+    group = uniq // rows_per                     # requester * n_dev + owner
+    l_u = (uniq % rows_per).astype(np.int32)
+    grp_ids, grp_start, grp_counts = np.unique(
+        group, return_index=True, return_counts=True)
+    start_of = np.zeros(n_dev * n_dev, np.int64)
+    start_of[grp_ids] = grp_start
+    slot_in_grp = (np.arange(len(uniq)) - start_of[group]).astype(np.int32)
+
+    max_cap = int(grp_counts.max()) if len(grp_counts) else 1
     if cap is None:
         cap = _bucket_cap(max_cap)
     assert cap >= max_cap, (cap, max_cap)
 
     requests = np.zeros((n_dev, n_dev, cap), dtype=np.int32)
-    for r in range(n_dev):
-        for o in range(n_dev):
-            u = req_lists[r][o]
-            requests[r, o, :len(u)] = u
+    requests[group // n_dev, group % n_dev, slot_in_grp] = l_u
+    addr_slot.reshape(-1)[sel] = slot_in_grp[inv]
     return HaloPlan(requests=requests, addr_owner=addr_owner,
                     addr_slot=addr_slot,
                     addr_is_local=addr_is_local.astype(np.float32),

@@ -121,12 +121,15 @@ class PairSampler:
                   rng: np.random.RandomState) -> np.ndarray:
         """train_nodes − ≤n_walk_len-hop neighborhood, sampled w/o
         replacement (reference src/models.py:163-166); uniform large-graph
-        mode excludes only the target itself."""
+        mode excludes the target and its 1-hop neighborhood (the CSR row is
+        already in memory, so the exclusion is O(deg) — this keeps walk
+        positives from doubling as negatives on the same pair)."""
         if self.negative_mode == "uniform":
             cand = self.train_nodes
-            picks = rng.choice(cand, size=min(num_neg + 1, len(cand)),
-                               replace=False)
-            picks = picks[picks != node][:num_neg]
+            bad = np.concatenate([[node], self.graph.neighbors(node)])
+            draw = min(num_neg + len(bad), len(cand))
+            picks = rng.choice(cand, size=draw, replace=False)
+            picks = picks[~np.isin(picks, bad)][:num_neg]
             return picks
         close = np.unpackbits(self._closure_bits(node),
                               count=self.graph.num_nodes).astype(bool)

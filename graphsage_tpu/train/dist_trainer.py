@@ -121,12 +121,16 @@ class DistTrainer:
         losses = []
         for si in range(steps):
             chunk = order[si * per_step:(si + 1) * per_step]
-            if len(chunk) < per_step:  # pad the tail step with repeats
+            real = len(chunk)
+            if real < per_step:  # pad the tail step with repeats
                 chunk = np.resize(chunk, per_step)
             batch = chunk.reshape(self.n_dev, tcfg.b_loc)
+            valid = (np.arange(per_step) < real).reshape(self.n_dev,
+                                                         tcfg.b_loc)
             db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
                                   self.mcfg.num_layers, tcfg.fanout,
-                                  seed=int(self.rng.randint(2**31)))
+                                  seed=int(self.rng.randint(2**31)),
+                                  valid=valid)
             args = dist_batch_to_device(db, self.mesh)
             self.params, loss = self._step(self.params, self.feats_sharded,
                                            *args)
@@ -154,7 +158,7 @@ class DistTrainer:
                                   seed=int(self.rng.randint(2**31)))
             args = dist_batch_to_device(db, self.mesh)
             embs = self._fwd(self.params["sage"], self.feats_sharded,
-                             *args[:-1])
+                             *args[:-2])
             out[lo:lo + real] = np.asarray(embs)[:real]
         return out
 

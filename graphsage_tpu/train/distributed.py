@@ -103,13 +103,18 @@ class DistBatch:
     addr_local: np.ndarray    # [n_dev, u0_loc]
     frontiers: list           # numpy Frontiers stacked [n_dev, ...]
     labels: np.ndarray        # [n_dev, b_loc]
+    row_mask: np.ndarray      # float32 [n_dev, b_loc]; 0 for padded rows
 
 
 def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
                      batch_per_dev: np.ndarray, num_layers: int, fanout: int,
                      seed: int, gcn: bool = False,
-                     cap: int | None = None) -> DistBatch:
-    """batch_per_dev: [n_dev, b_loc] node ids."""
+                     cap: int | None = None,
+                     valid: np.ndarray | None = None) -> DistBatch:
+    """batch_per_dev: [n_dev, b_loc] node ids.  ``valid`` (same shape, bool)
+    marks real rows; padded tail repeats get loss weight 0 (the single-device
+    Trainer's row_mask semantics — without it, np.resize repeats in the last
+    step of an epoch would get multiplied loss/gradient weight)."""
     n_dev, b_loc = batch_per_dev.shape
     x0_list, frontier_list = [], None
     for d in range(n_dev):
@@ -128,11 +133,14 @@ def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
                         mask=np.stack([f.mask for f in fl]),
                         self_idx=np.stack([f.self_idx for f in fl]))
                for fl in frontier_list]
+    row_mask = (np.ones(batch_per_dev.shape, np.float32) if valid is None
+                else np.asarray(valid, np.float32))
     return DistBatch(requests=plan.requests, addr_owner=plan.addr_owner,
                      addr_slot=plan.addr_slot,
                      addr_is_local=plan.addr_is_local,
                      addr_local=plan.addr_local, frontiers=stacked,
-                     labels=labels[batch_per_dev].astype(np.int32))
+                     labels=labels[batch_per_dev].astype(np.int32),
+                     row_mask=row_mask)
 
 
 # ------------------------------------------------------------------- device
@@ -155,12 +163,12 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
 
     def local_step(params, feats_local, requests, addr_owner, addr_slot,
                    addr_is_local, addr_local, f_idx, f_mask, f_self,
-                   labels):
+                   labels, row_mask):
         # leading mesh dim of size 1 on each shard — drop it
         requests, addr_owner, addr_slot = (requests[0], addr_owner[0],
                                            addr_slot[0])
         addr_is_local, addr_local = addr_is_local[0], addr_local[0]
-        labels = labels[0]
+        labels, row_mask = labels[0], row_mask[0]
         frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
                      for i, m, s in zip(f_idx, f_mask, f_self)]
 
@@ -200,7 +208,7 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
         def loss_fn(p):
             embs = encode(p)
             logp = classifier_apply(p["clf"], embs)
-            mask = jnp.ones(labels.shape[0], dtype=embs.dtype)
+            mask = row_mask.astype(embs.dtype)
             # the pmean lives INSIDE the differentiated function so autodiff
             # inserts the correct gradient collective.  (Differentiating a
             # per-shard loss w.r.t. replicated params and pmean-ing the
@@ -222,17 +230,18 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
                   tuple([P(axis, None, None)] * n_layers),
                   tuple([P(axis, None, None)] * n_layers),
                   tuple([P(axis, None)] * n_layers),
-                  P(axis, None)),
+                  P(axis, None), P(axis, None)),
         out_specs=(P(), P()),
     )
 
     @jax.jit
     def step(params, feats_sharded, requests, addr_owner, addr_slot,
-             addr_is_local, addr_local, f_idx, f_mask, f_self, labels):
+             addr_is_local, addr_local, f_idx, f_mask, f_self, labels,
+             row_mask):
         new_params, loss = sharded(params, feats_sharded, requests,
                                    addr_owner, addr_slot, addr_is_local,
                                    addr_local, f_idx, f_mask, f_self,
-                                   labels)
+                                   labels, row_mask)
         return new_params, loss
 
     return step
@@ -252,4 +261,5 @@ def dist_batch_to_device(db: DistBatch, mesh: Mesh, axis: str = "data"):
             put(db.addr_is_local, P(axis, None)),
             put(db.addr_local, P(axis, None)),
             f_idx, f_mask, f_self,
-            put(db.labels, P(axis, None)))
+            put(db.labels, P(axis, None)),
+            put(db.row_mask, P(axis, None)))

@@ -58,11 +58,14 @@ class TrainConfig:
     clf_epochs: int = 800
     clf_b_sz: int = 50
     emb_b_sz: int = 500
-    # strict=True re-embeds val/test through the encoder on every classifier
-    # epoch exactly like the reference (src/utils.py:110 → :27); False scores
-    # the classifier on the cached full-graph embeddings (same protocol,
-    # ~800x fewer encoder invocations).
-    strict_clf_eval: bool = False
+    # strict=True (default — protocol-identical to the reference,
+    # src/utils.py:110 → :27) re-embeds val/test through the encoder with
+    # fresh neighbor sampling on every classifier epoch, so the best-val→test
+    # selection sees the same eval variance as the reference.  False scores
+    # the classifier on the cached full-graph embeddings (~800x fewer
+    # encoder invocations) — an explicit fast path whose reported F1 is NOT
+    # protocol-identical.
+    strict_clf_eval: bool = True
     verbose: bool = True
     metrics_path: str | None = None   # jsonl metrics sink (utils/obs.py)
 

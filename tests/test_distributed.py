@@ -94,7 +94,7 @@ def test_distributed_matches_single_device_forward(setup):
         jnp.asarray(shard_features(ds.features, n_dev)),
         NamedSharding(mesh, P("data", None)))
     args = dist_batch_to_device(db, mesh)
-    out = np.asarray(jax.jit(fwd)(feats_sh, *args[:-1]))
+    out = np.asarray(jax.jit(fwd)(feats_sh, *args[:-2]))
     out = out.reshape(n_dev, -1, mcfg.out_size)
 
     # single-device replay of each shard using the same frontiers
@@ -196,3 +196,35 @@ def test_dist_trainer_end_to_end():
     tr = DistTrainer(ds, mcfg, tcfg, mesh=mesh)
     best = tr.fit()
     assert best > 0.4, (best, tr.history)
+
+
+def test_tail_row_mask_zeroes_padded_rows(setup):
+    """Padded tail repeats must not get multiplied loss weight: a step on
+    (batch, valid-mask) equals a step where the masked rows' labels are
+    garbage — i.e. masked rows contribute nothing."""
+    ds, mesh, mcfg, params, n_dev = setup
+    rng = np.random.RandomState(7)
+    step = make_dist_sup_step(mcfg, mesh, lr=0.5)
+    feats_sh = jax.device_put(
+        jnp.asarray(shard_features(ds.features, n_dev)),
+        NamedSharding(mesh, P("data", None)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    batch = ds.train_nodes[rng.choice(len(ds.train_nodes), (n_dev, 6))]
+    valid = np.ones((n_dev, 6), bool)
+    valid[-1, 3:] = False  # a short tail on the last device
+
+    db = build_dist_batch(ds.graph, ds.labels, batch, mcfg.num_layers,
+                          fanout=4, seed=5, valid=valid)
+    _, loss_a = step(params, feats_sh, *dist_batch_to_device(db, mesh))
+
+    bad_labels = ds.labels.copy()
+    db2 = build_dist_batch(ds.graph, bad_labels, batch, mcfg.num_layers,
+                           fanout=4, seed=5, valid=valid)
+    # corrupt the labels of masked rows only
+    lab = db2.labels.copy()
+    lab[-1, 3:] = (lab[-1, 3:] + 1) % ds.num_classes
+    db2 = type(db2)(**{**db2.__dict__, "labels": lab})
+    _, loss_b = step(params, feats_sh, *dist_batch_to_device(db2, mesh))
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
