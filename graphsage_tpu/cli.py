@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="re-embed val/test each classifier epoch exactly "
                         "like the reference (default); --no-strict_clf_eval "
                         "scores on cached embeddings (fast path)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="forward/backward compute precision (bfloat16 is "
+                        "the MXU-native mode; params stay float32)")
     p.add_argument("--data_root", type=str, default=None,
                    help="dataset directory override")
     p.add_argument("--quiet", action="store_true")
@@ -90,7 +94,8 @@ def main(argv=None) -> int:
 
     mcfg = GraphSageConfig(num_layers=num_layers, input_size=ds.feature_dim,
                            out_size=hidden, gcn=args.gcn,
-                           agg_func=args.agg_func)
+                           agg_func=args.agg_func,
+                           compute_dtype=args.compute_dtype)
     tcfg = TrainConfig(
         learn_method=args.learn_method, unsup_loss=args.unsup_loss,
         b_sz=args.b_sz, epochs=args.epochs, lr=args.lr, seed=args.seed,

@@ -30,7 +30,8 @@ def supervised_nll(log_probs: jax.Array, labels: jax.Array,
     (reference src/utils.py:161-163; divisor = number of real batch rows).
     log_probs: [U, C]; labels: [U] int; row_mask: [U] float."""
     picked = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32),
-                                 axis=1)[:, 0]
+                                 axis=1)[:, 0].astype(jnp.float32)
+    row_mask = row_mask.astype(jnp.float32)
     total = -jnp.sum(picked * row_mask)
     return total / jnp.maximum(jnp.sum(row_mask), 1.0)
 
@@ -52,7 +53,13 @@ def _unsup_loss_from_cosines(pos_cos, pos_mask, neg_cos, neg_mask,
     margin (reference src/models.py:100-132): per node
     relu(max_neg − min_pos + margin) on log σ(cos) scores.
     Loss = mean over nodes with ≥1 valid pos and neg pair.
+    Reductions run in float32 regardless of the embedding compute dtype.
     """
+    pos_cos = pos_cos.astype(jnp.float32)
+    neg_cos = neg_cos.astype(jnp.float32)
+    pos_mask = pos_mask.astype(jnp.float32)
+    neg_mask = neg_mask.astype(jnp.float32)
+    node_valid = node_valid.astype(jnp.float32)
     if kind == "normal":
         pos_term = _masked_mean(-jax.nn.log_sigmoid(pos_cos), pos_mask, 1)
         neg_term = q * _masked_mean(jax.nn.log_sigmoid(-neg_cos),

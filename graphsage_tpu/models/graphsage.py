@@ -50,6 +50,13 @@ class GraphSageConfig:
     gcn: bool = False
     agg_func: str = "MEAN"       # MEAN | MAX | LSTM
     impl: str = "xla"            # xla | pallas (fused gather-reduce kernels)
+    # Mixed precision: params are kept in float32 (master weights); the
+    # forward/backward compute runs in this dtype.  "bfloat16" is the
+    # MXU-native mode — matmuls take bf16 inputs and accumulate f32 via
+    # preferred_element_type; loss reductions stay f32.  No reference
+    # counterpart (torch f32 end-to-end); F1 parity is tested in
+    # tests/test_bf16.py.
+    compute_dtype: str = "float32"    # float32 | bfloat16
     # MEAN-layer restructuring: mean is linear, so W·mean(neigh) =
     # mean(W·neigh) — transform the embedding matrix by the layer weight
     # FIRST ([M, D]·[D, H]) and gather/average in H-space.  Cuts gather

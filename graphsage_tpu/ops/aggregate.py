@@ -74,8 +74,8 @@ def pair_cosine(embed: jax.Array, p_idx: jax.Array, q_idx: jax.Array,
     including torch's eps=1e-8 norm clamp.
     p_idx/q_idx: [...,] int32 into embed's rows.  Returns [...].
     """
-    a = jnp.take(embed, p_idx, axis=0)
-    b = jnp.take(embed, q_idx, axis=0)
+    a = jnp.take(embed, p_idx, axis=0).astype(jnp.float32)
+    b = jnp.take(embed, q_idx, axis=0).astype(jnp.float32)
     na = jnp.maximum(jnp.linalg.norm(a, axis=-1), eps)
     nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), eps)
     return jnp.sum(a * b, axis=-1) / (na * nb)

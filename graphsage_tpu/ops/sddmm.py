@@ -32,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def dense_pair_scores(emb: jax.Array, target_rows: jax.Array,
                       eps: float = 1e-8) -> jax.Array:
-    """[U, H] x [B] -> [B, U] cosine scores (XLA path; the oracle)."""
+    """[U, H] x [B] -> [B, U] cosine scores (XLA path; the oracle).
+    Normalization runs in float32 even under bf16 compute."""
+    emb = emb.astype(jnp.float32)
     norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), eps)
     unit = emb / norms
     targets = jnp.take(unit, target_rows, axis=0)        # [B, H]

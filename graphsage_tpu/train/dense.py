@@ -31,12 +31,26 @@ from graphsage_tpu.sampler.device import sample_frontiers_dense
 from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 
 
+def cast_compute(tree, mcfg: GraphSageConfig):
+    """Cast float32 leaves to the config's compute dtype (no-op for f32).
+
+    Applied INSIDE the differentiated function so master params stay f32 and
+    gradients flow back through the cast as f32 (standard mixed precision)."""
+    cdtype = jnp.dtype(mcfg.compute_dtype)
+    if cdtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(cdtype) if x.dtype == jnp.float32 else x, tree)
+
+
 def dense_forward(params, mcfg: GraphSageConfig, feats, neighbors, degrees,
                   batch, key, fanout: int = 10):
     """Sampling + encode for a batch of node ids: [B] -> [B, out_size]."""
     x0_ids, frontiers = sample_frontiers_dense(
         key, neighbors, degrees, batch, num_layers=mcfg.num_layers,
         fanout=fanout, gcn=mcfg.gcn)
+    params = cast_compute(params, mcfg)
+    feats = cast_compute(feats, mcfg)
     return graphsage_apply_gathered(params["sage"], mcfg, feats, x0_ids,
                                     frontiers)
 
@@ -51,8 +65,8 @@ def make_dense_sup_step(mcfg: GraphSageConfig, fanout: int = 10,
         def loss_fn(p):
             embs = dense_forward(p, mcfg, feats, neighbors, degrees,
                                  batch, key, fanout)
-            logp = classifier_apply(p["clf"], embs)
-            mask = jnp.ones(batch.shape[0], dtype=embs.dtype)
+            logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
+            mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
             return supervised_nll(logp, labels, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -81,8 +95,8 @@ def make_dense_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
             loss = unsup_loss_from_pairbatch(embs, pairs, unsup_loss,
                                              q=q, margin=margin)
             if learn_method == "plus_unsup":
-                logp = classifier_apply(p["clf"], embs)
-                mask = jnp.ones(batch.shape[0], dtype=embs.dtype)
+                logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
+                mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
                 loss = loss + supervised_nll(logp, labels, mask)
             return loss
 

@@ -133,7 +133,10 @@ class Trainer:
     # feature table is not baked into every compiled program as a constant.
     def _embed_impl(self, sage_params, feats, x0_ids, frontiers):
         from graphsage_tpu.models.graphsage import graphsage_apply_gathered
-        return graphsage_apply_gathered(sage_params, self.mcfg, feats,
+        from graphsage_tpu.train.dense import cast_compute
+        return graphsage_apply_gathered(cast_compute(sage_params, self.mcfg),
+                                        self.mcfg,
+                                        cast_compute(feats, self.mcfg),
                                         x0_ids, frontiers)
 
     def _build_step_fn(self):
@@ -145,7 +148,10 @@ class Trainer:
                 from graphsage_tpu.models.graphsage import (
                     graphsage_apply_gathered,
                 )
-                embs = graphsage_apply_gathered(p["sage"], mcfg, feats,
+                from graphsage_tpu.train.dense import cast_compute
+                p = cast_compute(p, mcfg)   # master grads stay f32
+                embs = graphsage_apply_gathered(p["sage"], mcfg,
+                                                cast_compute(feats, mcfg),
                                                 x0_ids, frontiers)
                 if tcfg.learn_method in ("sup", "plus_unsup"):
                     logp = classifier_apply(p["clf"], embs)
@@ -195,7 +201,9 @@ class Trainer:
         frontiers = jax.tree_util.tree_map(jnp.asarray, list(cb.frontiers))
         embs = self._embed_fn(sage_params, self.feats,
                               jnp.asarray(cb.x0_ids), frontiers)
-        return np.asarray(embs)[:len(nodes)]
+        # f32 on host regardless of compute dtype (bf16 numpy arrays trip
+        # downstream sklearn/np consumers)
+        return np.asarray(embs).astype(np.float32)[:len(nodes)]
 
     def all_embeddings(self) -> np.ndarray:
         """Full-graph inference in batches (reference get_gnn_embeddings,
