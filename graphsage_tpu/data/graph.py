@@ -113,6 +113,39 @@ class CSRGraph:
             truncated=bool((deg > width).any()),
         )
 
+    def to_padded_sampled(self, cap: int,
+                          rng: np.random.RandomState) -> "PaddedAdjacency":
+        """Compile to a width-``cap`` table with a UNIFORM random subset per
+        row (take-all below cap) — the neighbor-cache builder for power-law
+        graphs, where ``to_padded()``'s [N, max_degree] table would be
+        hub-dominated (a 20k-degree hub ⇒ an 8 GB table at N=100k).
+
+        Unlike ``to_padded(cap=...)`` (sorted-prefix truncation, biased),
+        the subset here is exactly uniform, so sampling K of it afterwards
+        remains exactly uniform K-of-degree (the subsample() composition
+        argument).  One global O(E log E) lexsort, no Python loops.
+        """
+        deg = self.degrees
+        e = self.num_edges
+        width = max(1, min(cap, int(deg.max()) if self.num_nodes else 1))
+        rows = np.repeat(np.arange(self.num_nodes, dtype=np.int64), deg)
+        # random order within each row segment: sort by (row, random key);
+        # row segments stay contiguous, neighbors shuffle uniformly inside
+        order = np.lexsort((rng.rand(e), rows))
+        shuffled = self.indices[order]
+        pos = np.arange(e, dtype=np.int64) - np.repeat(
+            self.indptr[:-1].astype(np.int64), deg)
+        keep = pos < width
+        new_deg = np.minimum(deg, width).astype(np.int32)
+        table = np.zeros((self.num_nodes, width), dtype=np.int32)
+        table[rows[keep], pos[keep]] = shuffled[keep]
+        return PaddedAdjacency(
+            neighbors=table,
+            degrees=new_deg,
+            true_degrees=deg,
+            truncated=bool((deg > width).any()),
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class PaddedAdjacency:

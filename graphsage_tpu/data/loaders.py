@@ -268,7 +268,12 @@ def synthetic_power_law(num_nodes: int, num_edges: int, num_feats: int = 602,
 
     labels = rng.randint(0, num_classes, size=num_nodes).astype(np.int32)
     basis = rng.randn(num_classes, num_feats).astype(np.float32)
-    feats = basis[labels] + 0.5 * rng.randn(num_nodes, num_feats).astype(np.float32)
+    # float32 Generator path: legacy RandomState.randn materializes float64
+    # (60M gaussians ≈ 90 s on slow hosts); Generator draws f32 directly
+    noise_rng = np.random.default_rng(seed + 0x5EED)
+    feats = basis[labels]
+    feats += 0.5 * noise_rng.standard_normal((num_nodes, num_feats),
+                                             dtype=np.float32)
     test, val, train = split_nodes(num_nodes, seed)
     return Dataset(f"powerlaw{num_nodes}", graph, feats, labels, num_classes,
                    train, val, test, synthetic_features=True)

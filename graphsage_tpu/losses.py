@@ -29,8 +29,13 @@ def supervised_nll(log_probs: jax.Array, labels: jax.Array,
     """−mean over valid rows of log_probs[i, labels[i]]
     (reference src/utils.py:161-163; divisor = number of real batch rows).
     log_probs: [U, C]; labels: [U] int; row_mask: [U] float."""
-    picked = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32),
-                                 axis=1)[:, 0].astype(jnp.float32)
+    # one-hot pick instead of take_along_axis: same value, but the backward
+    # is a dense multiply rather than a scatter (keeps training programs
+    # scatter-free; C is tiny so the [U, C] one-hot costs nothing)
+    onehot = (labels[:, None].astype(jnp.int32)
+              == jnp.arange(log_probs.shape[1])[None, :])
+    picked = jnp.sum(jnp.where(onehot, log_probs, 0.0),
+                     axis=1).astype(jnp.float32)
     row_mask = row_mask.astype(jnp.float32)
     total = -jnp.sum(picked * row_mask)
     return total / jnp.maximum(jnp.sum(row_mask), 1.0)

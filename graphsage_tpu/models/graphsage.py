@@ -164,13 +164,14 @@ def graphsage_apply_gathered(params: dict, cfg: GraphSageConfig,
                         ).astype(feats.dtype)
         h = jax.nn.relu(mean_aggregate(h_agg, idx_t, f0.mask))
     else:
-        w_self, w_agg = w[:, :d], w[:, d:]
-        h_self = jnp.dot(feats, w_self.T, preferred_element_type=jnp.float32
-                         ).astype(feats.dtype)
-        h_agg = jnp.dot(feats, w_agg.T, preferred_element_type=jnp.float32
-                        ).astype(feats.dtype)
-        agg = mean_aggregate(h_agg, idx_t, f0.mask)
-        h = jax.nn.relu(agg + jnp.take(h_self, self_t, axis=0))
+        # one fused [N, D]·[D, 2H] pass (reads the feature table once);
+        # columns [:H] = self part, [H:] = agg part
+        w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)  # [2H, D]
+        h_cat = jnp.dot(feats, w_stack.T, preferred_element_type=jnp.float32
+                        ).astype(feats.dtype)                    # [N, 2H]
+        hdim = w.shape[0]
+        agg = mean_aggregate(h_cat[:, hdim:], idx_t, f0.mask)
+        h = jax.nn.relu(agg + jnp.take(h_cat[:, :hdim], self_t, axis=0))
 
     for layer in range(1, cfg.num_layers):
         frontier = frontiers[layer]
@@ -212,11 +213,10 @@ def _mean_pretransform_layer(cfg: GraphSageConfig, layer_params: dict,
                         ).astype(h.dtype)          # [M, H]
         agg = mean_aggregate(h_agg, frontier.idx, frontier.mask)
         return jax.nn.relu(agg)
-    w_self, w_agg = w[:, :d], w[:, d:]
-    h_self = jnp.dot(h, w_self.T, preferred_element_type=jnp.float32
-                     ).astype(h.dtype)             # [M, H]
-    h_agg = jnp.dot(h, w_agg.T, preferred_element_type=jnp.float32
-                    ).astype(h.dtype)              # [M, H]
-    agg = mean_aggregate(h_agg, frontier.idx, frontier.mask)
-    out = agg + jnp.take(h_self, frontier.self_idx, axis=0)
+    w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)  # [2H, D]
+    h_cat = jnp.dot(h, w_stack.T, preferred_element_type=jnp.float32
+                    ).astype(h.dtype)              # [M, 2H], one fused pass
+    hdim = w.shape[0]
+    agg = mean_aggregate(h_cat[:, hdim:], frontier.idx, frontier.mask)
+    out = agg + jnp.take(h_cat[:, :hdim], frontier.self_idx, axis=0)
     return jax.nn.relu(out)

@@ -37,7 +37,12 @@ def _sample_one_hop(key: jax.Array, neighbors: jax.Array, degrees: jax.Array,
     keys = jnp.where(slot < deg[:, None], keys, jnp.inf)
     if fanout < p:
         _, picked = jax.lax.top_k(-keys, fanout)       # smallest keys
-        samples = jnp.take_along_axis(rows, picked, axis=1)
+        # materialize picks with a one-hot select-reduce instead of
+        # take_along_axis: XLA lowers the latter to a per-element gather
+        # (~80M elem/s on TPU — 5.5 ms at [45k, 32]); the [M, K, P]
+        # compare+where+sum stays on the VPU and fuses (~0.1 ms)
+        onehot = picked[:, :, None] == slot[None, :, :]        # [M, K, P]
+        samples = jnp.sum(jnp.where(onehot, rows[:, None, :], 0), axis=-1)
     else:
         # adjacency narrower than fanout: take the whole row
         samples = jnp.pad(rows, ((0, 0), (0, fanout - p)))

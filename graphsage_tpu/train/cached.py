@@ -1,0 +1,203 @@
+"""Leaf-cached training pipeline — the TPU speed-of-light path for MEAN.
+
+Motivation (measured on TPU v5e, 100k-node/1M-edge power-law, batch 4096):
+the dense per-occurrence pipeline is bound by per-row dynamic addressing,
+not FLOPs — XLA gathers run at ~170M rows/s and the backward scatter-add at
+~60M rows/s, so a 2-layer step spends ~20 of its 24 ms moving 495k leaf
+rows around (vs ~2 ms of matmul).  The fix is structural: make the leaf
+level *addressing-free*.
+
+Design ("hierarchical epoch cache"):
+
+- Per EPOCH, draw one uniform ``fanout``-subset per node (device-side
+  ``_sample_one_hop`` over all N rows of the padded table) and precompute
+
+      mean_feats[v] = mean(feats[cache(v)])            # [N, D]
+
+  — the depth-L neighborhood aggregation of RAW features, once.
+- Per STEP, sample fresh frontiers for depths 0..L-2 only (the expensive
+  10x leaf expansion never happens).  Layer 1 for a frontier node v is
+
+      relu(W1 · [feats[v] ‖ mean_feats[v]])
+
+  i.e. two row-gathers from *constant* tables — no parameter sits upstream
+  of any gather, so autodiff emits pure GEMMs and ZERO scatters.  Layers
+  2..L aggregate over the tree-contiguous frontiers as usual.
+
+Sampling semantics vs the reference: the reference shares one sampled
+neighborhood per unique node per BATCH (src/models.py:277-289 dedups);
+this pipeline shares the depth-L sample per node per EPOCH (re-drawn
+uniformly every epoch — the subset itself is exactly uniform
+fanout-of-degree by the subsample composition argument, data/graph.py).
+Depths < L keep fresh per-step sampling.  Quality is validated against the
+per-step pipeline in tests/test_cached.py and BASELINE.md records full
+50-epoch Cora F1 parity.
+
+Restriction: MEAN aggregator (the cache exploits linearity of the mean);
+gcn mode is supported via the exact count-weighted self mix-in.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
+from graphsage_tpu.models import GraphSageConfig, classifier_apply
+from graphsage_tpu.models.layers import sage_layer_apply
+from graphsage_tpu.ops.aggregate import mean_aggregate
+from graphsage_tpu.sampler.device import _sample_one_hop, sample_frontiers_dense
+from graphsage_tpu.train.dense import cast_compute
+from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
+
+
+def refresh_leaf_cache(key: jax.Array, feats: jax.Array, neighbors: jax.Array,
+                       degrees: jax.Array, fanout: int):
+    """Per-epoch cache refresh, fully on device (~10 ms at 100k nodes).
+
+    Returns (mean_feats [N, D], cache_count [N]): the masked mean of raw
+    features over a fresh uniform ``fanout``-subset per node, and the
+    number of valid slots (needed for the exact gcn self mix-in).
+    jit this once and call at every epoch boundary.
+    """
+    n = neighbors.shape[0]
+    all_nodes = jnp.arange(n, dtype=jnp.int32)
+    samples, valid = _sample_one_hop(key, neighbors, degrees, all_nodes,
+                                     fanout)
+    # self-loop samples drop out of the aggregation set, matching the
+    # dense sampler's not_self mask (reference set dance,
+    # src/models.py:285,297-298)
+    valid = valid & (samples != all_nodes[:, None])
+    mask = valid.astype(feats.dtype)
+    mean_feats = mean_aggregate(feats, samples, mask)
+    return mean_feats, jnp.sum(mask, axis=1)
+
+
+def cached_forward(params, mcfg: GraphSageConfig, feats, mean_feats,
+                   cache_count, neighbors, degrees, batch, key,
+                   fanout: int = 10):
+    """Encode a batch of node ids: [B] -> [B, out_size].
+
+    ``feats``/``mean_feats``/``cache_count`` are the epoch-constant tables;
+    everything else matches dense_forward's contract.
+    """
+    assert mcfg.agg_func == "MEAN", "leaf cache exploits mean linearity"
+    params = cast_compute(params, mcfg)
+    feats = cast_compute(feats, mcfg)
+    mean_feats = cast_compute(mean_feats, mcfg)
+    sage = params["sage"]
+
+    if mcfg.num_layers == 1:
+        ids = jnp.asarray(batch, jnp.int32)
+        frontiers = []
+    else:
+        ids, frontiers = sample_frontiers_dense(
+            key, neighbors, degrees, batch,
+            num_layers=mcfg.num_layers - 1, fanout=fanout, gcn=mcfg.gcn)
+
+    # layer 1 from the cached leaf aggregation: gathers from constant
+    # tables only (no scatter in the backward)
+    self_f = jnp.take(feats, ids, axis=0)                 # [M, D]
+    agg_f = jnp.take(mean_feats, ids, axis=0)             # [M, D]
+    if mcfg.gcn:
+        # gcn aggregates over sample ∪ self (src/models.py:297-298 keeps
+        # the self slot): exact count-weighted mix of the cached mean
+        cnt = jnp.take(cache_count, ids, axis=0)[:, None].astype(
+            self_f.dtype)
+        mixed = (cnt * agg_f + self_f) / (cnt + 1.0)
+        h = sage_layer_apply(sage["layers"][0], mixed, mixed, gcn=True)
+    else:
+        h = sage_layer_apply(sage["layers"][0], self_f, agg_f, gcn=False)
+
+    # layers 2..L: the dense tree stores the children of parent u at rows
+    # [u·(K+1), (u+1)·(K+1)) with slot 0 = self, so aggregation is a pure
+    # reshape + masked reduce — no index ops, hence no gather/scatter
+    # anywhere above layer 1 (asserted in tests/test_cached.py)
+    k = fanout
+    for li, frontier in enumerate(frontiers, start=1):
+        hdim = h.shape[1]
+        hr = h.reshape(-1, k + 1, hdim)
+        mask = frontier.mask.astype(h.dtype)              # [U, K+1]
+        cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        agg = jnp.einsum("ukh,uk->uh", hr, mask) / cnt
+        h = sage_layer_apply(sage["layers"][li], hr[:, 0], agg,
+                             gcn=mcfg.gcn)
+    return h
+
+
+def make_cached_sup_step(mcfg: GraphSageConfig, fanout: int = 10,
+                         lr: float = 0.7, clip: float = 5.0):
+    """Supervised step on the leaf-cached pipeline.  Signature:
+    step(params, feats, mean_feats, cache_count, neighbors, degrees,
+    batch, labels, key) -> (params, loss)."""
+
+    def step(params, feats, mean_feats, cache_count, neighbors, degrees,
+             batch, labels, key):
+        def loss_fn(p):
+            embs = cached_forward(p, mcfg, feats, mean_feats, cache_count,
+                                  neighbors, degrees, batch, key, fanout)
+            logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
+            mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
+            return supervised_nll(logp, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+        return sgd_update(params, grads, lr), loss
+
+    return step
+
+
+def make_cached_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
+                           fanout: int = 10, lr: float = 0.7,
+                           clip: float = 5.0, learn_method: str = "unsup",
+                           q: float = 10.0, margin: float = 3.0):
+    """Unsup / plus_unsup step on the leaf-cached pipeline (same pair
+    tensor contract as make_dense_unsup_step)."""
+
+    def step(params, feats, mean_feats, cache_count, neighbors, degrees,
+             batch, labels, pairs, key):
+        def loss_fn(p):
+            embs = cached_forward(p, mcfg, feats, mean_feats, cache_count,
+                                  neighbors, degrees, batch, key, fanout)
+            loss = unsup_loss_from_pairbatch(embs, pairs, unsup_loss,
+                                             q=q, margin=margin)
+            if learn_method == "plus_unsup":
+                logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
+                mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
+                loss = loss + supervised_nll(logp, labels, mask)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+        return sgd_update(params, grads, lr), loss
+
+    return step
+
+
+def make_cached_sup_epoch(mcfg: GraphSageConfig, fanout: int = 10,
+                          lr: float = 0.7, clip: float = 5.0):
+    """Whole-epoch driver: refresh the leaf cache, then `lax.scan` the
+    step over a [T, B] batch stack — refresh + T steps is ONE XLA program.
+
+    epoch(params, feats, neighbors, degrees, batches [T, B], labels [T, B],
+    key) -> (params, losses [T])."""
+    step = make_cached_sup_step(mcfg, fanout=fanout, lr=lr, clip=clip)
+
+    def epoch(params, feats, neighbors, degrees, batches, labels, key):
+        k_cache, k_steps = jax.random.split(key)
+        mean_feats, cache_count = refresh_leaf_cache(
+            k_cache, feats, neighbors, degrees, fanout)
+
+        def body(carry, xs):
+            p, k = carry
+            batch, lab = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, feats, mean_feats, cache_count, neighbors,
+                           degrees, batch, lab, sub)
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(body, (params, k_steps),
+                                           (batches, labels))
+        return params, losses
+
+    return epoch

@@ -180,13 +180,10 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
                 return graphsage_apply(p["sage"], mcfg, x0, frontiers)
             w = p["sage"]["layers"][0]["weight"]          # [H, 2D]
             d = feats_local.shape[1]
-            w_self, w_agg = w[:, :d], w[:, d:]
-            h_local = jnp.concatenate(
-                [jnp.dot(feats_local, w_self.T,
-                         preferred_element_type=jnp.float32),
-                 jnp.dot(feats_local, w_agg.T,
-                         preferred_element_type=jnp.float32)],
-                axis=1).astype(feats_local.dtype)          # [rows, 2H]
+            w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)
+            h_local = jnp.dot(feats_local, w_stack.T,
+                              preferred_element_type=jnp.float32
+                              ).astype(feats_local.dtype)  # [rows, 2H]
             x0t = halo_gather_local(h_local, requests, addr_owner,
                                     addr_slot, addr_is_local, addr_local,
                                     axis)                  # [u0, 2H]

@@ -96,3 +96,54 @@ def test_synthetic_power_law():
     # deterministic
     ds2 = synthetic_power_law(1000, 5000, num_feats=32, num_classes=4, seed=1)
     np.testing.assert_array_equal(ds.graph.indices, ds2.graph.indices)
+
+
+def test_to_padded_sampled_uniform_and_takeall():
+    from graphsage_tpu.data import CSRGraph
+
+    rng = np.random.RandomState(0)
+    # star graph: node 0 connects to 1..60 (degree 60), others degree 1-2
+    n = 61
+    src = np.zeros(60, np.int64)
+    dst = np.arange(1, 61, dtype=np.int64)
+    g = CSRGraph.from_edges(n, src, dst)
+    cap = 8
+    pad = g.to_padded_sampled(cap, rng)
+    assert pad.width == cap
+    assert pad.truncated
+    # hub row: exactly cap entries, all real neighbors, no duplicates
+    hub = pad.neighbors[0][:pad.degrees[0]]
+    assert pad.degrees[0] == cap
+    assert len(set(hub.tolist())) == cap
+    assert set(hub.tolist()) <= set(range(1, 61))
+    # degree-1 rows: take-all, exact neighbor
+    for v in range(1, 61):
+        assert pad.degrees[v] == 1
+        assert pad.neighbors[v, 0] == 0
+    # uniformity: over many draws every hub neighbor appears ~cap/60 of the
+    # time (chi-square-ish bound)
+    counts = np.zeros(n)
+    trials = 400
+    for t in range(trials):
+        p = g.to_padded_sampled(cap, np.random.RandomState(1000 + t))
+        counts[p.neighbors[0][:cap]] += 1
+    freq = counts[1:61] / trials
+    expected = cap / 60.0
+    assert np.all(np.abs(freq - expected) < 6 * np.sqrt(
+        expected * (1 - expected) / trials))
+
+
+def test_to_padded_sampled_matches_topology():
+    """Sampled table rows are always subsets of the true adjacency."""
+    from graphsage_tpu.data import CSRGraph
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 50, 300)
+    dst = rng.randint(0, 50, 300)
+    keep = src != dst
+    g = CSRGraph.from_edges(50, src[keep], dst[keep])
+    pad = g.to_padded_sampled(4, rng)
+    for v in range(50):
+        row = set(pad.neighbors[v][:pad.degrees[v]].tolist())
+        assert row <= set(g.neighbors(v).tolist())
+        assert pad.degrees[v] == min(len(g.neighbors(v)), 4)
