@@ -1,16 +1,27 @@
-"""Headline benchmark: aggregation-engine training throughput, edges/s/chip.
+"""Headline benchmark suite: aggregation-engine training throughput + MFU.
 
-Workload (BASELINE.json north star, config-1 shape): supervised GraphSAGE
-train step — neighbor sampling, 2-layer MEAN aggregation fwd+bwd, NLL,
-per-model clip, SGD — on the real Cora graph (1433-dim features), fanout 10.
-The dense device pipeline runs the whole step as one jit'd XLA program.
+Workloads (BASELINE.json north star):
+- cora_b512_dense_f32: the reference config-1 shape on the real Cora graph.
+  ANNOTATION: latency-bound — 2708 nodes cannot load the chip; this row
+  measures dispatch + small-kernel latency, not the aggregation engine.
+- powerlaw100k_*: the BASELINE config-5 class workload (synthetic power-law,
+  100k nodes / 1M directed edge slots), batch sized to load the chip, on
+  both pipelines:
+    dense  = per-step device sampling, per-occurrence tree expansion
+    cached = hierarchical epoch cache (train/cached.py) — the flagship
+  and both compute dtypes (f32 / bf16 MXU-native).
 
-Baseline: the reference implementation (torch CPU, same machine class)
-measured at 409,565 edges/s steady-state (batch 512; it is host-bound and
-flat in batch size — 407,913 edges/s at its default batch 20).  See
-BASELINE.md "measured" rows; tools/measure_reference.py reproduces it.
+Per row: step time, edges/s (edge-unit = B·K + B·(K+1)·K, identical to the
+reference accounting in tools/measure_reference.py), achieved matmul
+TFLOP/s and MFU vs the chip's dense bf16 peak.  The epoch-cache refresh is
+INSIDE the timed program (amortized over the scan), so cached rows pay
+their true cost.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the torch reference measured on this machine class is host-bound
+at ~409,565 edges/s (flat in batch size and workload; BASELINE.md).
+
+Prints ONE JSON line (the headline: biggest-workload cached bf16 row) and
+writes every row to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -22,73 +33,151 @@ import numpy as np
 
 REFERENCE_EDGES_PER_SEC = 409_565.0  # torch-CPU reference, measured
 
+# dense bf16 matmul peak by device kind (TFLOP/s); f32 matmuls on these
+# chips run through the same MXU (bf16 passes), so one peak per chip
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,       # v5e
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,       # v6e
+}
 
-def main() -> None:
+
+def matmul_flops_per_step(pipeline: str, n_nodes: int, feat_dim: int,
+                          batch: int, fanout: int, hidden: int,
+                          classes: int) -> float:
+    """Analytic matmul FLOPs actually executed per train step (fwd + the
+    backward GEMMs autodiff emits).  Gathers/reduces/sampling are excluded
+    (they are not MXU work).  XLA's cost_analysis is not used: it
+    mis-reports scanned programs on this backend."""
+    k1 = fanout + 1
+    if pipeline == "cached":
+        m1 = batch * k1
+        # layer1 concat GEMM fwd + dW (inputs are constant tables: no dx)
+        f = 2 * m1 * (2 * feat_dim) * hidden * 2
+        # layer2 fwd + dW + dx
+        f += 2 * batch * (2 * hidden) * hidden * 3
+        f += 2 * batch * hidden * classes * 3
+        return float(f)
+    if pipeline == "dense":
+        # table pretransform fwd + dW (feature table is constant: no dx)
+        f = 2 * n_nodes * feat_dim * (2 * hidden) * 2
+        f += 2 * batch * (2 * hidden) * hidden * 3
+        f += 2 * batch * hidden * classes * 3
+        return float(f)
+    raise ValueError(pipeline)
+
+
+def edges_per_batch(batch_size: int, num_layers: int, fanout: int) -> int:
+    total, width = 0, batch_size
+    for _ in range(num_layers):
+        total += width * fanout
+        width *= fanout + 1
+    return total
+
+
+def run_row(name, ds, pad, pipeline, batch, dtype, fanout=10, hidden=128,
+            steps=20, note=None):
     import jax
     import jax.numpy as jnp
 
-    from graphsage_tpu.data import load_cora
     from graphsage_tpu.models import GraphSageConfig, init_graphsage
     from graphsage_tpu.models.layers import init_classifier
-    from graphsage_tpu.train.dense import (
-        edges_per_batch,
-        make_dense_sup_epoch,
-    )
-
-    batch_size = 512
-    fanout = 10
-    ds = load_cora()
-    # width-32 neighbor-cache table: sampling K of a random cap-subset is
-    # EXACTLY uniform K-of-degree (subset composition; see
-    # PaddedAdjacency.subsample), and the 5x narrower table cuts the
-    # device-side sampling work, which dominates the step.  Production
-    # refreshes the subset per epoch; a 50-step window shares one refresh.
-    pad = ds.graph.to_padded().subsample(32, np.random.RandomState(99))
+    from graphsage_tpu.train.cached import make_cached_sup_epoch
+    from graphsage_tpu.train.dense import make_dense_sup_epoch
 
     mcfg = GraphSageConfig(num_layers=2, input_size=ds.feature_dim,
-                           out_size=128)
-    key = jax.random.PRNGKey(824)
-    k1, k2 = jax.random.split(key)
-    params = {
-        "sage": init_graphsage(k1, mcfg),
-        "clf": init_classifier(k2, mcfg.out_size, ds.num_classes),
-    }
+                           out_size=hidden, compute_dtype=dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(824))
+    params = {"sage": init_graphsage(k1, mcfg),
+              "clf": init_classifier(k2, hidden, ds.num_classes)}
     feats = jnp.asarray(ds.features)
     neighbors = jnp.asarray(pad.neighbors)
     degrees = jnp.asarray(pad.degrees)
-    labels_all = jnp.asarray(ds.labels.astype(np.int32))
-
-    epoch_fn = jax.jit(make_dense_sup_epoch(mcfg, fanout=fanout))
-
     rng = np.random.RandomState(0)
-    n_steps = 50
-    batches = jnp.asarray(
-        rng.randint(0, ds.num_nodes,
-                    size=(n_steps, batch_size)).astype(np.int32))
-    labels = jnp.take(labels_all, batches, axis=0)
+    batches = jnp.asarray(rng.randint(0, ds.num_nodes,
+                                      size=(steps, batch)).astype(np.int32))
+    labels = jnp.take(jnp.asarray(ds.labels.astype(np.int32)), batches,
+                      axis=0)
     key = jax.random.PRNGKey(824)
 
-    # warmup + compile (whole scan is one program)
-    params_w, losses = epoch_fn(params, feats, neighbors, degrees,
-                                batches, labels, key)
-    np.asarray(losses)
-
-    # NB: time via a value fetch — block_until_ready alone has been
+    mk = make_cached_sup_epoch if pipeline == "cached" else make_dense_sup_epoch
+    epoch_fn = jax.jit(mk(mcfg, fanout=fanout))
+    args = (params, feats, neighbors, degrees, batches, labels, key)
+    # warmup + compile; NB value fetch — block_until_ready alone has been
     # observed not to block on experimental remote TPU backends
-    t0 = time.perf_counter()
-    params, losses = epoch_fn(params, feats, neighbors, degrees,
-                              batches, labels, key)
+    _, losses = epoch_fn(*args)
     np.asarray(losses)
-    dt = (time.perf_counter() - t0) / n_steps
+    t0 = time.perf_counter()
+    _, losses = epoch_fn(*args)
+    np.asarray(losses)
+    dt = (time.perf_counter() - t0) / steps
 
-    edges = edges_per_batch(batch_size, mcfg.num_layers, fanout)
-    eps = edges / dt
+    device_kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(device_kind)
+    flops = matmul_flops_per_step(pipeline, ds.num_nodes, ds.feature_dim,
+                                  batch, fanout, hidden, ds.num_classes)
+    edges = edges_per_batch(batch, 2, fanout)
+    row = {
+        "name": name, "pipeline": pipeline, "dtype": dtype,
+        "batch": batch, "nodes": ds.num_nodes,
+        "edge_slots": int(pad.true_degrees.sum()),
+        "step_ms": round(dt * 1000, 3),
+        "edges_per_sec": round(edges / dt, 1),
+        "matmul_tflops_per_sec": round(flops / dt / 1e12, 2),
+        "mfu": round(flops / dt / 1e12 / peak, 4) if peak else None,
+        "device": device_kind,
+        "vs_reference": round(edges / dt / REFERENCE_EDGES_PER_SEC, 1),
+    }
+    if note:
+        row["note"] = note
+    return row
+
+
+def main() -> None:
+    from graphsage_tpu.data import load_cora, synthetic_power_law
+
+    rows = []
+    cora = load_cora()
+    cora_pad = cora.graph.to_padded().subsample(32, np.random.RandomState(99))
+    rows.append(run_row(
+        "cora_b512_dense_f32", cora, cora_pad, "dense", 512, "float32",
+        steps=50,
+        note=("latency-bound: the 2708-node graph cannot load the chip; "
+              "measures dispatch + small-kernel latency. Neighbor cache "
+              "width 32, refreshed once per 50-step window (production "
+              "refreshes per epoch; subset composition keeps per-draw "
+              "sampling exactly uniform either way)")))
+    print_row(rows[-1])
+
+    pl = synthetic_power_law(100_000, 1_000_000, num_feats=602,
+                             num_classes=16, seed=0)
+    pl_pad = pl.graph.to_padded_sampled(32, np.random.RandomState(99))
+    for pipeline, batch, dtype in [("dense", 4096, "bfloat16"),
+                                   ("cached", 16384, "float32"),
+                                   ("cached", 16384, "bfloat16")]:
+        rows.append(run_row(
+            f"powerlaw100k_b{batch}_{pipeline}_{dtype}", pl, pl_pad,
+            pipeline, batch, dtype))
+        print_row(rows[-1])
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+    head = rows[-1]  # biggest workload, cached bf16
     print(json.dumps({
         "metric": "edges_per_sec_per_chip",
-        "value": round(eps, 1),
+        "value": head["edges_per_sec"],
         "unit": "edges/s",
-        "vs_baseline": round(eps / REFERENCE_EDGES_PER_SEC, 3),
+        "vs_baseline": round(head["edges_per_sec"]
+                             / REFERENCE_EDGES_PER_SEC, 3),
     }))
+
+
+def print_row(row):
+    import sys
+    print("#", json.dumps(row), file=sys.stderr)
 
 
 if __name__ == "__main__":
