@@ -54,8 +54,11 @@ def matmul_flops_per_step(pipeline: str, n_nodes: int, feat_dim: int,
     k1 = fanout + 1
     if pipeline == "cached":
         m1 = batch * k1
-        # layer1 concat GEMM fwd + dW (inputs are constant tables: no dx)
-        f = 2 * m1 * (2 * feat_dim) * hidden * 2
+        # layer1 GEMM runs over min(frontier, table) rows (train/cached.py
+        # picks full-table when the frontier outnumbers the table); inputs
+        # are constant tables, so backward is dW only (no dx GEMM)
+        rows1 = min(m1, n_nodes)
+        f = 2 * rows1 * (2 * feat_dim) * hidden * 2
         # layer2 fwd + dW + dx
         f += 2 * batch * (2 * hidden) * hidden * 3
         f += 2 * batch * hidden * classes * 3
@@ -155,8 +158,8 @@ def main() -> None:
                              num_classes=16, seed=0)
     pl_pad = pl.graph.to_padded_sampled(32, np.random.RandomState(99))
     for pipeline, batch, dtype in [("dense", 4096, "bfloat16"),
-                                   ("cached", 16384, "float32"),
-                                   ("cached", 16384, "bfloat16")]:
+                                   ("cached", 32768, "float32"),
+                                   ("cached", 32768, "bfloat16")]:
         rows.append(run_row(
             f"powerlaw100k_b{batch}_{pipeline}_{dtype}", pl, pl_pad,
             pipeline, batch, dtype))

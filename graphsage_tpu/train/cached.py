@@ -95,19 +95,45 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, mean_feats,
             key, neighbors, degrees, batch,
             num_layers=mcfg.num_layers - 1, fanout=fanout, gcn=mcfg.gcn)
 
-    # layer 1 from the cached leaf aggregation: gathers from constant
-    # tables only (no scatter in the backward)
-    self_f = jnp.take(feats, ids, axis=0)                 # [M, D]
-    agg_f = jnp.take(mean_feats, ids, axis=0)             # [M, D]
+    # Layer 1 from the cached leaf aggregation.  Two equivalent orders:
+    #
+    # per-occurrence: gather [M, D] rows from the constant tables, then
+    #   GEMM.  Wide-row gathers are byte-bound (~42-67 GB/s measured);
+    #   cost ∝ M·D.  No scatter in the backward (tables are constant).
+    # full-table: compute relu(W1·[feats ‖ meanF]) for ALL N nodes (the
+    #   tables are read SEQUENTIALLY by the GEMM at full HBM bandwidth),
+    #   then gather M narrow [H]-wide rows (row-bound, ~170M rows/s).
+    #   The backward adds a d(H1)-scatter of M rows — still far cheaper
+    #   than M wide gathers once M exceeds N.
+    #
+    # Both static shapes are known at trace time; pick full-table when the
+    # frontier outnumbers the table.
+    m1 = ids.shape[0]
+    n = feats.shape[0]
+    w1 = sage["layers"][0]
     if mcfg.gcn:
-        # gcn aggregates over sample ∪ self (src/models.py:297-298 keeps
-        # the self slot): exact count-weighted mix of the cached mean
-        cnt = jnp.take(cache_count, ids, axis=0)[:, None].astype(
-            self_f.dtype)
-        mixed = (cnt * agg_f + self_f) / (cnt + 1.0)
-        h = sage_layer_apply(sage["layers"][0], mixed, mixed, gcn=True)
+        cnt_all = cache_count[:, None].astype(feats.dtype)
+        if m1 >= n:
+            mixed_t = (cnt_all * mean_feats + feats) / (cnt_all + 1.0)
+            h1_table = sage_layer_apply(w1, mixed_t, mixed_t, gcn=True)
+            h = jnp.take(h1_table, ids, axis=0)
+        else:
+            self_f = jnp.take(feats, ids, axis=0)
+            agg_f = jnp.take(mean_feats, ids, axis=0)
+            cnt = jnp.take(cache_count, ids, axis=0)[:, None].astype(
+                self_f.dtype)
+            # gcn aggregates over sample ∪ self (src/models.py:297-298):
+            # exact count-weighted mix of the cached mean
+            mixed = (cnt * agg_f + self_f) / (cnt + 1.0)
+            h = sage_layer_apply(w1, mixed, mixed, gcn=True)
     else:
-        h = sage_layer_apply(sage["layers"][0], self_f, agg_f, gcn=False)
+        if m1 >= n:
+            h1_table = sage_layer_apply(w1, feats, mean_feats, gcn=False)
+            h = jnp.take(h1_table, ids, axis=0)
+        else:
+            self_f = jnp.take(feats, ids, axis=0)
+            agg_f = jnp.take(mean_feats, ids, axis=0)
+            h = sage_layer_apply(w1, self_f, agg_f, gcn=False)
 
     # layers 2..L: the dense tree stores the children of parent u at rows
     # [u·(K+1), (u+1)·(K+1)) with slot 0 = self, so aggregation is a pure
