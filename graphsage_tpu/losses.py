@@ -116,8 +116,8 @@ def unsup_loss_from_pairbatch(embeddings: jax.Array, pb_tensors: dict,
     """
     target_rows = pb_tensors.get("target_rows")
     if target_rows is not None:
-        from graphsage_tpu.ops.sddmm import dense_pair_scores, sample_scores
-        scores = dense_pair_scores(embeddings, target_rows)      # [B, U]
+        from graphsage_tpu.ops.sddmm import pair_scores, sample_scores
+        scores = pair_scores(embeddings, target_rows)            # [B, U]
         pos_cos = sample_scores(scores, pb_tensors["pos_q"])
         neg_cos = sample_scores(scores, pb_tensors["neg_q"])
         return _unsup_loss_from_cosines(

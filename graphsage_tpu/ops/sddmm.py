@@ -42,6 +42,56 @@ def dense_pair_scores(emb: jax.Array, target_rows: jax.Array,
                    ).astype(emb.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pallas_scores_diff(emb, target_rows, eps):
+    return pallas_pair_scores(emb, target_rows, eps=eps, interpret=False)
+
+
+def _pallas_scores_fwd(emb, target_rows, eps):
+    scores = pallas_pair_scores(emb, target_rows, eps=eps, interpret=False)
+    # residuals for the analytic backward: the normalized embeddings
+    emb32 = emb.astype(jnp.float32)
+    norms = jnp.maximum(jnp.linalg.norm(emb32, axis=-1, keepdims=True), eps)
+    unit = emb32 / norms
+    # dtype token: residuals must be JAX types, so carry an empty array
+    return scores, (unit, norms, target_rows, jnp.zeros((0,), emb.dtype))
+
+
+def _pallas_scores_bwd(eps, res, g):
+    """S = unit[t] @ unit.T; chain through the row normalization:
+    d_emb = (d_unit − unit·(d_unit⊙unit).sum(-1)) / norms."""
+    unit, norms, target_rows, dtype_token = res
+    in_dtype = dtype_token.dtype
+    g = g.astype(jnp.float32)
+    a = jnp.take(unit, target_rows, axis=0)               # [B, H]
+    d_unit = jnp.dot(g.T, a, preferred_element_type=jnp.float32)  # [U, H]
+    d_a = jnp.dot(g, unit, preferred_element_type=jnp.float32)    # [B, H]
+    d_unit = d_unit.at[target_rows].add(d_a)
+    proj = jnp.sum(d_unit * unit, axis=-1, keepdims=True)
+    d_emb = (d_unit - unit * proj) / norms
+    return (d_emb.astype(in_dtype), None)
+
+
+_pallas_scores_diff.defvjp(_pallas_scores_fwd, _pallas_scores_bwd)
+
+
+def pair_scores(emb: jax.Array, target_rows: jax.Array,
+                eps: float = 1e-8) -> jax.Array:
+    """Production dispatcher for the [B, U] score block: the Pallas fused
+    normalize+matmul kernel on TPU (measured 15% faster than the XLA path
+    at the production shape — PALLAS_MICROBENCH.json, pair_scores rows)
+    with an analytic custom VJP; the XLA oracle elsewhere (interpret-mode
+    Pallas is slow on CPU).  Gradient parity is tested in
+    tests/test_sddmm.py."""
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        return _pallas_scores_diff(emb, target_rows, eps)
+    return dense_pair_scores(emb, target_rows, eps=eps)
+
+
 def sample_scores(scores: jax.Array, q_idx: jax.Array) -> jax.Array:
     """Gather per-pair scalars out of the dense block: [B, U] x [B, P]
     -> [B, P]."""

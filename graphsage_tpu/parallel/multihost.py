@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding
 
 
 def initialize(coordinator_address: str | None = None,
@@ -64,6 +64,23 @@ def initialize(coordinator_address: str | None = None,
 def make_global_mesh(axis: str = "data") -> Mesh:
     """1-D mesh over every chip of the (possibly multi-host) slice."""
     return Mesh(np.asarray(jax.devices()), axis_names=(axis,))
+
+
+def put_global(arr, mesh: Mesh, spec) -> jax.Array:
+    """Place a host array onto a (possibly multi-process) mesh.
+
+    Single-process `jax.device_put` cannot target shardings that span
+    non-addressable devices; `make_array_from_callback` is the
+    multi-controller-safe construction — every process supplies only the
+    shards it can address, and the SPMD program sees one global array.
+    The host array must hold the GLOBAL value on every process (true for
+    everything this framework builds: batches derive from a shared seed,
+    params from a shared PRNGKey).  Works identically single-process.
+    """
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def local_batch_rows(global_batch: np.ndarray) -> np.ndarray:

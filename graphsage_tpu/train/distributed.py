@@ -246,9 +246,12 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
 
 def dist_batch_to_device(db: DistBatch, mesh: Mesh, axis: str = "data"):
     """Place DistBatch tensors with their shardings; returns the tuple of
-    jnp args for the step function (after params, feats)."""
-    sh = lambda spec: NamedSharding(mesh, spec)
-    put = lambda a, spec: jax.device_put(jnp.asarray(a), sh(spec))
+    jnp args for the step function (after params, feats).  Uses the
+    multi-controller-safe construction so the same code path serves both a
+    single process and a jax.distributed multi-process job (each process
+    feeds only its addressable shards)."""
+    from graphsage_tpu.parallel.multihost import put_global
+    put = lambda a, spec: put_global(a, mesh, spec)
     f_idx = tuple(put(f.idx, P(axis, None, None)) for f in db.frontiers)
     f_mask = tuple(put(f.mask, P(axis, None, None)) for f in db.frontiers)
     f_self = tuple(put(f.self_idx, P(axis, None)) for f in db.frontiers)

@@ -62,3 +62,32 @@ def test_loss_dense_matches_gather(rng, kind):
     dense = dict(base, target_rows=jnp.asarray(targets))
     dense_loss = float(unsup_loss_from_pairbatch(emb, dense, kind))
     np.testing.assert_allclose(dense_loss, gather_loss, rtol=1e-5)
+
+
+def test_pallas_scores_analytic_bwd_matches_autodiff():
+    """The custom VJP used under the TPU pair_scores dispatcher
+    (ops/sddmm._pallas_scores_bwd) must match the autodiff of the XLA
+    oracle dense_pair_scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.ops.sddmm import _pallas_scores_bwd, dense_pair_scores
+
+    rng = np.random.RandomState(7)
+    u, h, b = 64, 16, 12
+    emb = jnp.asarray(rng.randn(u, h).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, u, b).astype(np.int32))
+    # duplicate targets exercise the .add accumulation
+    targets = targets.at[1].set(targets[0])
+    g = jnp.asarray(rng.randn(b, u).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda e: dense_pair_scores(e, targets), emb)
+    want = vjp(g)[0]
+
+    eps = 1e-8
+    norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), eps)
+    unit = emb / norms
+    got, _ = _pallas_scores_bwd(eps, (unit, norms, targets,
+                                      jnp.zeros((0,), emb.dtype)), g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
