@@ -65,14 +65,23 @@ def make_dist_forward(mcfg: GraphSageConfig, mesh: Mesh,
 
 @dataclasses.dataclass
 class DistTrainConfig:
+    learn_method: str = "sup"   # sup | unsup | plus_unsup
+    unsup_loss: str = "normal"  # normal | margin
     b_loc: int = 128            # batch per device
     epochs: int = 10
     lr: float = 0.7
+    clf_lr: float = 0.5
     clip: float = 5.0
     fanout: int = 10
     seed: int = 824
+    clf_epochs: int = 60        # classifier-only fit (unsup mode)
+    clf_b_sz: int = 50
     reorder: bool = True        # BFS locality reorder before sharding
     verbose: bool = True
+
+    @property
+    def num_neg(self) -> int:
+        return 6 if self.unsup_loss == "margin" else 100
 
 
 class DistTrainer:
@@ -107,6 +116,14 @@ class DistTrainer:
             NamedSharding(mesh, P("data", None)))
         self._step = make_dist_sup_step(mcfg, mesh, lr=tcfg.lr,
                                         clip=tcfg.clip)
+        if tcfg.learn_method != "sup":
+            from graphsage_tpu.sampler import PairSampler
+            from graphsage_tpu.train.distributed import make_dist_unsup_step
+            self.pair_sampler = PairSampler(dataset.graph,
+                                            dataset.train_nodes)
+            self._unsup_step = make_dist_unsup_step(
+                mcfg, mesh, unsup_loss=tcfg.unsup_loss,
+                learn_method=tcfg.learn_method, lr=tcfg.lr, clip=tcfg.clip)
         self._fwd = make_dist_forward(mcfg, mesh)
         self.max_vali_f1 = 0.0
         self.epoch = 0
@@ -125,15 +142,30 @@ class DistTrainer:
             if real < per_step:  # pad the tail step with repeats
                 chunk = np.resize(chunk, per_step)
             batch = chunk.reshape(self.n_dev, tcfg.b_loc)
-            valid = (np.arange(per_step) < real).reshape(self.n_dev,
-                                                         tcfg.b_loc)
-            db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
-                                  self.mcfg.num_layers, tcfg.fanout,
-                                  seed=int(self.rng.randint(2**31)),
-                                  valid=valid)
-            args = dist_batch_to_device(db, self.mesh)
-            self.params, loss = self._step(self.params, self.feats_sharded,
-                                           *args)
+            if tcfg.learn_method == "sup":
+                valid = (np.arange(per_step) < real).reshape(self.n_dev,
+                                                             tcfg.b_loc)
+                db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
+                                      self.mcfg.num_layers, tcfg.fanout,
+                                      seed=int(self.rng.randint(2**31)),
+                                      valid=valid)
+                args = dist_batch_to_device(db, self.mesh)
+                self.params, loss = self._step(self.params,
+                                               self.feats_sharded, *args)
+            else:
+                from graphsage_tpu.train.distributed import (
+                    build_dist_unsup_batch,
+                    pairs_to_device,
+                )
+                db, pairs = build_dist_unsup_batch(
+                    self.ds.graph, self.ds.labels, self.pair_sampler,
+                    batch, self.mcfg.num_layers, tcfg.fanout,
+                    num_neg=tcfg.num_neg,
+                    seed=int(self.rng.randint(2**31)))
+                self.params, loss = self._unsup_step(
+                    self.params, self.feats_sharded,
+                    *dist_batch_to_device(db, self.mesh),
+                    *pairs_to_device(pairs, self.mesh))
             losses.append(loss)
         mean_loss = float(np.mean([float(l) for l in losses]))
         if tcfg.verbose:
@@ -182,9 +214,55 @@ class DistTrainer:
         self.history.append(entry)
         return self.max_vali_f1
 
+    def train_classification(self) -> float:
+        """Classifier-only fit on frozen distributed embeddings (the
+        reference's unsup protocol, src/utils.py:80-111, over the
+        distributed forward)."""
+        import jax.numpy as jnp
+        from graphsage_tpu.losses import supervised_nll
+        from graphsage_tpu.train.optim import (
+            clip_by_global_norm,
+            sgd_update,
+        )
+
+        tcfg = self.tcfg
+        all_nodes = np.arange(self.ds.num_nodes)
+        embs = self.embed_nodes(all_nodes)
+
+        @jax.jit
+        def clf_step(clf, e, lab):
+            def loss_fn(p):
+                logp = classifier_apply(p, e)
+                return supervised_nll(logp, lab,
+                                      jnp.ones(lab.shape[0], jnp.float32))
+
+            _, grads = jax.value_and_grad(loss_fn)(clf)
+            grads = clip_by_global_norm(grads, tcfg.clip)
+            return sgd_update(clf, grads, tcfg.clf_lr)
+
+        clf = jax.device_get(self.params["clf"])
+        clf = jax.tree_util.tree_map(jnp.asarray, clf)
+        train = np.asarray(self.ds.train_nodes)
+        for _ in range(tcfg.clf_epochs):
+            order = self.rng.permutation(train)
+            for lo in range(0, len(order), tcfg.clf_b_sz):
+                nodes = order[lo:lo + tcfg.clf_b_sz]
+                clf = clf_step(clf, jnp.asarray(embs[nodes]),
+                               jnp.asarray(self.ds.labels[nodes]
+                                           .astype(np.int32)))
+        from jax.sharding import NamedSharding as _NS
+        self.params["clf"] = jax.device_put(
+            jax.device_get(clf), _NS(self.mesh, P()))
+        return self.evaluate()
+
     def fit(self) -> float:
         for epoch in range(self.tcfg.epochs):
             self.epoch = epoch
             self.train_epoch()
-            self.evaluate()
+            if self.tcfg.learn_method == "unsup":
+                # periodic classifier fit (reference src/main.py:73-74)
+                if (epoch + 1) % 2 == 0:
+                    self.train_classification()
+            else:
+                self.evaluate()
         return self.max_vali_f1

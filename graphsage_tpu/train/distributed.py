@@ -144,6 +144,40 @@ def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
 
 
 # ------------------------------------------------------------------- device
+def _encode_local(p, mcfg: GraphSageConfig, use_pre: bool, axis: str,
+                  feats_local, requests, addr_owner, addr_slot,
+                  addr_is_local, addr_local, frontiers):
+    """Per-shard encode: halo-gather layer-0 features (optionally
+    pre-transformed by W1 so the collective moves [·, 2H] instead of
+    [·, D]) then the bottom-up layers.  Shared by the sup and unsup
+    distributed steps."""
+    if not use_pre:
+        x0 = halo_gather_local(feats_local, requests, addr_owner,
+                               addr_slot, addr_is_local, addr_local, axis)
+        return graphsage_apply(p["sage"], mcfg, x0, frontiers)
+    w = p["sage"]["layers"][0]["weight"]          # [H, 2D]
+    d = feats_local.shape[1]
+    w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)
+    h_local = jnp.dot(feats_local, w_stack.T,
+                      preferred_element_type=jnp.float32
+                      ).astype(feats_local.dtype)  # [rows, 2H]
+    x0t = halo_gather_local(h_local, requests, addr_owner, addr_slot,
+                            addr_is_local, addr_local, axis)   # [u0, 2H]
+    hdim = w.shape[0]
+    f0 = frontiers[0]
+    from graphsage_tpu.ops.aggregate import mean_aggregate
+    agg = mean_aggregate(x0t[:, hdim:], f0.idx, f0.mask)
+    h = jax.nn.relu(agg + jnp.take(x0t[:, :hdim], f0.self_idx, axis=0))
+    for layer in range(1, mcfg.num_layers):
+        fl = frontiers[layer]
+        agg = mean_aggregate(h, fl.idx, fl.mask)
+        from graphsage_tpu.models.layers import sage_layer_apply
+        h = sage_layer_apply(p["sage"]["layers"][layer],
+                             jnp.take(h, fl.self_idx, axis=0),
+                             agg, gcn=False)
+    return h
+
+
 def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
                        clip: float = 5.0, axis: str = "data",
                        pretransform: str = "auto"):
@@ -172,38 +206,10 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
         frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
                      for i, m, s in zip(f_idx, f_mask, f_self)]
 
-        def encode(p):
-            if not use_pre:
-                x0 = halo_gather_local(feats_local, requests, addr_owner,
-                                       addr_slot, addr_is_local,
-                                       addr_local, axis)
-                return graphsage_apply(p["sage"], mcfg, x0, frontiers)
-            w = p["sage"]["layers"][0]["weight"]          # [H, 2D]
-            d = feats_local.shape[1]
-            w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)
-            h_local = jnp.dot(feats_local, w_stack.T,
-                              preferred_element_type=jnp.float32
-                              ).astype(feats_local.dtype)  # [rows, 2H]
-            x0t = halo_gather_local(h_local, requests, addr_owner,
-                                    addr_slot, addr_is_local, addr_local,
-                                    axis)                  # [u0, 2H]
-            hdim = w.shape[0]
-            f0 = frontiers[0]
-            from graphsage_tpu.ops.aggregate import mean_aggregate
-            agg = mean_aggregate(x0t[:, hdim:], f0.idx, f0.mask)
-            h = jax.nn.relu(agg + jnp.take(x0t[:, :hdim], f0.self_idx,
-                                           axis=0))
-            for layer in range(1, mcfg.num_layers):
-                fl = frontiers[layer]
-                agg = mean_aggregate(h, fl.idx, fl.mask)
-                from graphsage_tpu.models.layers import sage_layer_apply
-                h = sage_layer_apply(p["sage"]["layers"][layer],
-                                     jnp.take(h, fl.self_idx, axis=0),
-                                     agg, gcn=False)
-            return h
-
         def loss_fn(p):
-            embs = encode(p)
+            embs = _encode_local(p, mcfg, use_pre, axis, feats_local,
+                                 requests, addr_owner, addr_slot,
+                                 addr_is_local, addr_local, frontiers)
             logp = classifier_apply(p["clf"], embs)
             mask = row_mask.astype(embs.dtype)
             # the pmean lives INSIDE the differentiated function so autodiff
@@ -242,6 +248,122 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
         return new_params, loss
 
     return step
+
+
+def build_dist_unsup_batch(graph: CSRGraph, labels: np.ndarray,
+                           pair_sampler, batch_per_dev: np.ndarray,
+                           num_layers: int, fanout: int, num_neg: int,
+                           seed: int, gcn: bool = False,
+                           cap: int | None = None):
+    """Unsup/plus_unsup distributed batch: per device, extend the batch
+    with walk-positive / BFS-negative pair endpoints (reference
+    src/models.py:135-148 — done for every learn method), then build the
+    halo plan over the per-device EXTENDED batches.
+
+    Returns (DistBatch, pairs) where pairs is a dict of [n_dev, ...] numpy
+    tensors (the PairBatch layout; rows index each device's extended
+    batch).  Devices' extended batches are re-padded to one common width
+    so they stack; row_mask marks real rows.
+    """
+    n_dev, _ = batch_per_dev.shape
+    rng = np.random.RandomState(seed & 0x7fffffff)
+    pbs = [pair_sampler.sample_batch(batch_per_dev[d], num_neg, rng)
+           for d in range(n_dev)]
+    u_pad = max(len(pb.unique_nodes) for pb in pbs)
+    ext = np.zeros((n_dev, u_pad), np.int64)
+    valid = np.zeros((n_dev, u_pad), bool)
+    for d, pb in enumerate(pbs):
+        ext[d, :len(pb.unique_nodes)] = pb.unique_nodes
+        valid[d, :pb.num_unique] = True
+    db = build_dist_batch(graph, labels, ext, num_layers, fanout,
+                          seed=seed + 7919, gcn=gcn, cap=cap, valid=valid)
+    pairs = {
+        k: np.stack([np.asarray(getattr(pb, k)) for pb in pbs])
+        for k in ("target_rows", "pos_p", "pos_q", "pos_mask",
+                  "neg_p", "neg_q", "neg_mask", "node_valid")
+    }
+    return db, pairs
+
+
+def make_dist_unsup_step(mcfg: GraphSageConfig, mesh: Mesh,
+                         unsup_loss: str = "normal",
+                         learn_method: str = "unsup", lr: float = 0.7,
+                         clip: float = 5.0, q: float = 10.0,
+                         margin: float = 3.0, axis: str = "data",
+                         pretransform: str = "auto"):
+    """Distributed unsup / plus_unsup step (reference dispatch
+    src/utils.py:159-181 over the halo-partitioned forward): per-shard
+    pair loss (+ supervised NLL over the extended batch for plus_unsup),
+    pmean'd inside the differentiated function, clip, SGD.
+
+    step(params, feats_sharded, *dist_args, *pair_args) where dist_args =
+    dist_batch_to_device(db, mesh) and pair_args =
+    pairs_to_device(pairs, mesh)."""
+    from graphsage_tpu.losses import unsup_loss_from_pairbatch
+
+    use_pre = (mcfg.agg_func == "MEAN" and not mcfg.gcn
+               and pretransform in ("auto", "always"))
+
+    def local_step(params, feats_local, requests, addr_owner, addr_slot,
+                   addr_is_local, addr_local, f_idx, f_mask, f_self,
+                   labels, row_mask, target_rows, pos_p, pos_q, pos_mask,
+                   neg_p, neg_q, neg_mask, node_valid):
+        requests, addr_owner, addr_slot = (requests[0], addr_owner[0],
+                                           addr_slot[0])
+        addr_is_local, addr_local = addr_is_local[0], addr_local[0]
+        labels, row_mask = labels[0], row_mask[0]
+        frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
+                     for i, m, s in zip(f_idx, f_mask, f_self)]
+        pairs = {"target_rows": target_rows[0], "pos_p": pos_p[0],
+                 "pos_q": pos_q[0], "pos_mask": pos_mask[0],
+                 "neg_p": neg_p[0], "neg_q": neg_q[0],
+                 "neg_mask": neg_mask[0], "node_valid": node_valid[0]}
+
+        def loss_fn(p):
+            embs = _encode_local(p, mcfg, use_pre, axis, feats_local,
+                                 requests, addr_owner, addr_slot,
+                                 addr_is_local, addr_local, frontiers)
+            loss = unsup_loss_from_pairbatch(embs, pairs, unsup_loss,
+                                             q=q, margin=margin)
+            if learn_method == "plus_unsup":
+                logp = classifier_apply(p["clf"], embs)
+                loss = loss + supervised_nll(logp, labels, row_mask)
+            # pmean INSIDE the differentiated function (see the sup step's
+            # note on jax's unreduced-vma gradient semantics)
+            return jax.lax.pmean(loss, axis)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = {k: clip_by_global_norm(g, clip) for k, g in grads.items()}
+        return sgd_update(params, grads, lr), loss
+
+    n_layers = mcfg.num_layers
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None),
+                  tuple([P(axis, None, None)] * n_layers),
+                  tuple([P(axis, None, None)] * n_layers),
+                  tuple([P(axis, None)] * n_layers),
+                  P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None), P(axis, None)),
+        out_specs=(P(), P()),
+    )
+
+    return jax.jit(sharded)
+
+
+def pairs_to_device(pairs: dict, mesh: Mesh, axis: str = "data"):
+    """Place the stacked pair tensors; returns the positional tail args for
+    make_dist_unsup_step's step fn (order matches its signature)."""
+    from graphsage_tpu.parallel.multihost import put_global
+    order = ("target_rows", "pos_p", "pos_q", "pos_mask", "neg_p", "neg_q",
+             "neg_mask", "node_valid")
+    specs = {"target_rows": P(axis, None), "node_valid": P(axis, None)}
+    return tuple(put_global(pairs[k], mesh,
+                            specs.get(k, P(axis, None, None)))
+                 for k in order)
 
 
 def dist_batch_to_device(db: DistBatch, mesh: Mesh, axis: str = "data"):
