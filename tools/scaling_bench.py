@@ -36,9 +36,18 @@ def main():
     ap.add_argument("--fanout", type=int, default=10)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--devices", type=str, default="1,2,4,8")
+    ap.add_argument("--out", type=str, default=None,
+                    help="write the full results list as JSON to this path")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the virtual CPU mesh (the sitecustomize "
+                         "pins jax_platforms to the TPU tunnel, overriding "
+                         "JAX_PLATFORMS; this forces it back)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -102,8 +111,25 @@ def main():
                         "step_ms": round(dt * 1000, 2)})
         base = results[0]["edges_per_sec"] * n_dev
         eff = eps / base if base else 0
-        print(json.dumps({**results[-1],
-                          "scaling_efficiency": round(eff, 3)}))
+        results[-1]["scaling_efficiency"] = round(eff, 3)
+        print(json.dumps(results[-1]))
+
+    if args.out:
+        payload = {
+            "workload": {"nodes": args.nodes, "edges": args.edges,
+                         "feat_dim": args.feat_dim, "hidden": args.hidden,
+                         "b_loc": args.b_loc, "fanout": args.fanout,
+                         "steps": args.steps},
+            "backend": jax.devices()[0].platform,
+            "note": ("virtual CPU mesh: relative weak-scaling only; "
+                     "absolute rates are not TPU rates"
+                     if jax.devices()[0].platform == "cpu" else
+                     "real device mesh"),
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
