@@ -78,6 +78,9 @@ class DistTrainConfig:
     clf_b_sz: int = 50
     reorder: bool = True        # BFS locality reorder before sharding
     verbose: bool = True
+    # build step i+1's frontier/halo plan (numpy + C++ sampler) on a worker
+    # thread while the device mesh runs step i; 0 = serial reference path
+    prefetch_depth: int = 2
 
     @property
     def num_neg(self) -> int:
@@ -130,43 +133,66 @@ class DistTrainer:
         self.history: list[dict] = []
 
     # ---------------------------------------------------------------- train
+    def _build_step_batch(self, chunk: np.ndarray, per_step: int):
+        """Host-side (numpy + C++ sampler) build for one distributed step:
+        tail padding, frontier construction, halo planning.  Runs on the
+        prefetch thread; consumes self.rng sequentially."""
+        tcfg = self.tcfg
+        real = len(chunk)
+        if real < per_step:  # pad the tail step with repeats
+            chunk = np.resize(chunk, per_step)
+        batch = chunk.reshape(self.n_dev, tcfg.b_loc)
+        if tcfg.learn_method == "sup":
+            valid = (np.arange(per_step) < real).reshape(self.n_dev,
+                                                         tcfg.b_loc)
+            db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
+                                  self.mcfg.num_layers, tcfg.fanout,
+                                  seed=int(self.rng.randint(2**31)),
+                                  valid=valid)
+            return db, None
+        from graphsage_tpu.train.distributed import build_dist_unsup_batch
+        return build_dist_unsup_batch(
+            self.ds.graph, self.ds.labels, self.pair_sampler,
+            batch, self.mcfg.num_layers, tcfg.fanout,
+            num_neg=tcfg.num_neg, seed=int(self.rng.randint(2**31)))
+
     def train_epoch(self) -> float:
+        """One epoch over the mesh.  Host batch building (frontiers + halo
+        plan) overlaps device compute via a bounded prefetch thread
+        (utils/prefetch.py); device transfers stay on this thread."""
         tcfg = self.tcfg
         order = self.rng.permutation(self.ds.train_nodes)
         per_step = self.n_dev * tcfg.b_loc
         steps = max(1, len(order) // per_step)
         losses = []
-        for si in range(steps):
-            chunk = order[si * per_step:(si + 1) * per_step]
-            real = len(chunk)
-            if real < per_step:  # pad the tail step with repeats
-                chunk = np.resize(chunk, per_step)
-            batch = chunk.reshape(self.n_dev, tcfg.b_loc)
-            if tcfg.learn_method == "sup":
-                valid = (np.arange(per_step) < real).reshape(self.n_dev,
-                                                             tcfg.b_loc)
-                db = build_dist_batch(self.ds.graph, self.ds.labels, batch,
-                                      self.mcfg.num_layers, tcfg.fanout,
-                                      seed=int(self.rng.randint(2**31)),
-                                      valid=valid)
-                args = dist_batch_to_device(db, self.mesh)
-                self.params, loss = self._step(self.params,
-                                               self.feats_sharded, *args)
-            else:
-                from graphsage_tpu.train.distributed import (
-                    build_dist_unsup_batch,
-                    pairs_to_device,
-                )
-                db, pairs = build_dist_unsup_batch(
-                    self.ds.graph, self.ds.labels, self.pair_sampler,
-                    batch, self.mcfg.num_layers, tcfg.fanout,
-                    num_neg=tcfg.num_neg,
-                    seed=int(self.rng.randint(2**31)))
-                self.params, loss = self._unsup_step(
-                    self.params, self.feats_sharded,
-                    *dist_batch_to_device(db, self.mesh),
-                    *pairs_to_device(pairs, self.mesh))
-            losses.append(loss)
+
+        def producer():
+            for si in range(steps):
+                chunk = order[si * per_step:(si + 1) * per_step]
+                yield self._build_step_batch(chunk, per_step)
+
+        from graphsage_tpu.utils.prefetch import Prefetcher, prefetch
+        stream = prefetch(producer, depth=tcfg.prefetch_depth,
+                          enabled=tcfg.prefetch_depth > 0)
+        try:
+            for db, pairs in stream:
+                if pairs is None:
+                    args = dist_batch_to_device(db, self.mesh)
+                    self.params, loss = self._step(
+                        self.params, self.feats_sharded, *args)
+                else:
+                    from graphsage_tpu.train.distributed import (
+                        pairs_to_device,
+                    )
+                    self.params, loss = self._unsup_step(
+                        self.params, self.feats_sharded,
+                        *dist_batch_to_device(db, self.mesh),
+                        *pairs_to_device(pairs, self.mesh))
+                losses.append(loss)
+        except BaseException:
+            if isinstance(stream, Prefetcher):
+                stream.close()
+            raise
         mean_loss = float(np.mean([float(l) for l in losses]))
         if tcfg.verbose:
             print(f"dist epoch {self.epoch}: mean loss {mean_loss:.4f} "

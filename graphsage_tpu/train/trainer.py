@@ -68,6 +68,11 @@ class TrainConfig:
     strict_clf_eval: bool = True
     verbose: bool = True
     metrics_path: str | None = None   # jsonl metrics sink (utils/obs.py)
+    # host/device overlap: build batch i+1 (pair sampling + C++ compact
+    # build, numpy-only) on a worker thread while the device runs step i.
+    # depth bounds how far the host may run ahead.  0 disables (serial
+    # reference path).  Bit-identical to serial — see utils/prefetch.py.
+    prefetch_depth: int = 2
 
     @property
     def num_neg(self) -> int:
@@ -250,51 +255,75 @@ class Trainer:
         return self.max_vali_f1
 
     # --------------------------------------------------------------- train
+    def _build_train_batch(self, nodes: np.ndarray):
+        """Host-side (numpy-only) batch construction for one step: batch
+        extension (reference src/utils.py:147-149, every learn method) +
+        compact frontier build + labels/mask.  Runs on the prefetch thread;
+        consumes self.rng sequentially (see utils/prefetch.py contract)."""
+        tcfg = self.tcfg
+        pb = self.pair_sampler.sample_batch(nodes, tcfg.num_neg, self.rng)
+        cb = build_compact_batch(
+            self.ds.graph, pb.unique_nodes, self.rng,
+            num_layers=self.mcfg.num_layers, fanout=tcfg.fanout,
+            gcn=self.mcfg.gcn,
+            shuffle_slots=self.mcfg.agg_func == "LSTM")
+        u_pad = cb.out_rows
+        labels = np.zeros(u_pad, dtype=np.int32)
+        real = pb.unique_nodes[:pb.num_unique]
+        labels[:pb.num_unique] = self.labels_np[real]
+        row_mask = (np.arange(u_pad) < pb.num_unique).astype(np.float32)
+        return pb, cb, labels, row_mask
+
     def train_epoch(self) -> float:
         """One joint epoch over the train split (reference apply_model,
-        src/utils.py:113-193).  Returns the mean step loss."""
+        src/utils.py:113-193).  Returns the mean step loss.
+
+        Batch building overlaps device compute: a worker thread runs
+        ``_build_train_batch`` for step i+1 while the device executes
+        step i (prefetch_depth bounds the run-ahead; 0 = serial)."""
         tcfg = self.tcfg
         train_nodes = self.rng.permutation(self.ds.train_nodes)
         batches = math.ceil(len(train_nodes) / tcfg.b_sz)
         visited: set[int] = set()
         losses = []
-        for bi in range(batches):
-            nodes = train_nodes[bi * tcfg.b_sz:(bi + 1) * tcfg.b_sz]
-            # batch extension happens for every learn method
-            # (reference src/utils.py:147-149)
-            pb = self.pair_sampler.sample_batch(nodes, tcfg.num_neg, self.rng)
-            visited.update(int(v) for v in pb.unique_nodes[:pb.num_unique])
 
-            cb = build_compact_batch(
-                self.ds.graph, pb.unique_nodes, self.rng,
-                num_layers=self.mcfg.num_layers, fanout=tcfg.fanout,
-                gcn=self.mcfg.gcn,
-                shuffle_slots=self.mcfg.agg_func == "LSTM")
-            u_pad = cb.out_rows
-            labels = np.zeros(u_pad, dtype=np.int32)
-            real = pb.unique_nodes[:pb.num_unique]
-            labels[:pb.num_unique] = self.labels_np[real]
-            row_mask = (np.arange(u_pad) < pb.num_unique).astype(np.float32)
+        def producer():
+            for bi in range(batches):
+                nodes = train_nodes[bi * tcfg.b_sz:(bi + 1) * tcfg.b_sz]
+                yield self._build_train_batch(nodes)
 
-            frontiers = jax.tree_util.tree_map(jnp.asarray,
-                                               list(cb.frontiers))
-            self.params, loss = self._step_fn(
-                self.params, self.feats, jnp.asarray(cb.x0_ids), frontiers,
-                jnp.asarray(labels), jnp.asarray(row_mask),
-                _pair_tensors(pb))
-            if tcfg.verbose:
-                # per-step loss print (reference src/utils.py:183) forces a
-                # device sync each batch
-                loss = float(loss)
-                print(f"Step [{bi + 1}/{batches}], Loss: {loss:.4f}, "
-                      f"Dealed Nodes [{len(visited)}/{len(train_nodes)}]")
-            losses.append(loss)
-            # quiet mode keeps a bounded dispatch window: sync the loss
-            # from a few steps back so dispatch runs ahead of the device
-            # (hides per-step latency) without flooding the backend queue
-            # (unbounded async dispatch deadlocks the remote TPU backend)
-            if not tcfg.verbose and bi >= 4:
-                losses[bi - 4] = float(losses[bi - 4])
+        from graphsage_tpu.utils.prefetch import Prefetcher, prefetch
+        stream = prefetch(producer, depth=tcfg.prefetch_depth,
+                          enabled=tcfg.prefetch_depth > 0)
+        try:
+            for bi, (pb, cb, labels, row_mask) in enumerate(stream):
+                visited.update(int(v)
+                               for v in pb.unique_nodes[:pb.num_unique])
+                frontiers = jax.tree_util.tree_map(jnp.asarray,
+                                                   list(cb.frontiers))
+                self.params, loss = self._step_fn(
+                    self.params, self.feats, jnp.asarray(cb.x0_ids),
+                    frontiers, jnp.asarray(labels), jnp.asarray(row_mask),
+                    _pair_tensors(pb))
+                if tcfg.verbose:
+                    # per-step loss print (reference src/utils.py:183)
+                    # forces a device sync each batch
+                    loss = float(loss)
+                    print(f"Step [{bi + 1}/{batches}], Loss: {loss:.4f}, "
+                          f"Dealed Nodes [{len(visited)}/"
+                          f"{len(train_nodes)}]")
+                losses.append(loss)
+                # quiet mode keeps a bounded dispatch window: sync the loss
+                # from a few steps back so dispatch runs ahead of the device
+                # (hides per-step latency) without flooding the backend
+                # queue (unbounded async dispatch deadlocks the remote TPU
+                # backend)
+                if not tcfg.verbose and bi >= 4:
+                    losses[bi - 4] = float(losses[bi - 4])
+        except BaseException:
+            if isinstance(stream, Prefetcher):
+                stream.close()  # unblock + join the producer thread
+            raise
         mean_loss = float(np.mean([float(l) for l in losses]))
         self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
                          visited_nodes=len(visited),
