@@ -104,6 +104,10 @@ class DistBatch:
     frontiers: list           # numpy Frontiers stacked [n_dev, ...]
     labels: np.ndarray        # [n_dev, b_loc]
     row_mask: np.ndarray      # float32 [n_dev, b_loc]; 0 for padded rows
+    # global layer-0 node ids per device (host-side only — not shipped to
+    # the device; lets tests/dryruns replay a shard's forward without the
+    # halo exchange and assert loss parity)
+    x0_ids: np.ndarray | None = None
 
 
 def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
@@ -140,7 +144,7 @@ def build_dist_batch(graph: CSRGraph, labels: np.ndarray,
                      addr_is_local=plan.addr_is_local,
                      addr_local=plan.addr_local, frontiers=stacked,
                      labels=labels[batch_per_dev].astype(np.int32),
-                     row_mask=row_mask)
+                     row_mask=row_mask, x0_ids=x0_per_dev)
 
 
 # ------------------------------------------------------------------- device
