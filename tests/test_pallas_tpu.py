@@ -1,0 +1,115 @@
+"""Real-TPU compile-path coverage for the Pallas kernels (VERDICT round-1
+hygiene item: kernels were exercised in interpret mode only).
+
+The suite's conftest pins every test process to the CPU backend before jax
+initializes, so the Mosaic compile path can only be reached from a fresh
+subprocess that keeps the default (TPU) platform.  The subprocess runs the
+shipped production kernel (ops/sddmm.pair_scores — the SDDMM score block
+that beat XLA by 15%, PALLAS_MICROBENCH.json) and the optional aggregate
+kernels non-interpret on the chip, checking numerics against the XLA
+oracles.  Skipped when no TPU is reachable."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_PROBE = """
+import jax
+print(jax.devices()[0].platform)
+"""
+
+_WORKER = """
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.devices()[0].platform in ("tpu", "axon"), jax.devices()
+
+rng = np.random.RandomState(0)
+out = {}
+
+# --- production SDDMM kernel (fused normalize+matmul), non-interpret ----
+from graphsage_tpu.ops.sddmm import (
+    dense_pair_scores,
+    pair_scores,
+    pallas_pair_scores,
+)
+emb = jnp.asarray(rng.randn(512, 128).astype(np.float32))
+targets = jnp.asarray(rng.randint(0, 512, 256).astype(np.int32))
+got = np.asarray(pallas_pair_scores(emb, targets, interpret=False))
+want = np.asarray(dense_pair_scores(emb, targets))
+out["sddmm_max_err"] = float(np.abs(got - want).max())
+
+# gradient through the production dispatcher (Pallas kernel + analytic
+# custom VJP on this backend) vs the XLA oracle
+assert jax.devices()[0].platform in ("tpu", "axon")
+def loss_pallas(e):
+    return jnp.sum(pair_scores(e, targets) ** 2)
+def loss_ref(e):
+    return jnp.sum(dense_pair_scores(e, targets) ** 2)
+g1 = np.asarray(jax.grad(loss_pallas)(emb))
+g2 = np.asarray(jax.grad(loss_ref)(emb))
+out["sddmm_grad_max_err"] = float(np.abs(g1 - g2).max())
+
+# --- optional aggregate kernels, non-interpret ---------------------------
+from graphsage_tpu.ops import max_aggregate, mean_aggregate
+from graphsage_tpu.ops.pallas_aggregate import (
+    pallas_max_aggregate,
+    pallas_mean_aggregate,
+)
+e = jnp.asarray(rng.randn(704, 128).astype(np.float32))
+idx = jnp.asarray(rng.randint(0, 704, (64, 11)).astype(np.int32))
+mask = jnp.asarray((rng.rand(64, 11) > 0.3).astype(np.float32))
+out["agg_mean_max_err"] = float(np.abs(
+    np.asarray(pallas_mean_aggregate(e, idx, mask, interpret=False))
+    - np.asarray(mean_aggregate(e, idx, mask))).max())
+out["agg_max_max_err"] = float(np.abs(
+    np.asarray(pallas_max_aggregate(e, idx, mask, interpret=False))
+    - np.asarray(max_aggregate(e, idx, mask))).max())
+
+print("RESULT " + json.dumps(out))
+"""
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # keep the sitecustomize default (TPU)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # keep any sitecustomize dirs (e.g. the TPU-tunnel registration) on
+    # the path — replacing PYTHONPATH outright would silently drop the
+    # TPU backend and auto-skip this test
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
+    return env
+
+
+def _tpu_available() -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE],
+                           capture_output=True, text=True, timeout=120,
+                           env=_clean_env())
+        return r.stdout.strip().splitlines()[-1] in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="no TPU reachable")
+def test_pallas_kernels_compile_and_match_on_tpu():
+    r = subprocess.run([sys.executable, "-c", _WORKER],
+                       capture_output=True, text=True, timeout=560,
+                       env=_clean_env())
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    res = json.loads(line[len("RESULT "):])
+    # f32 matmuls execute as bf16 MXU passes on v5e — abs err ~1e-4 on
+    # unit-normalized scores is expected, not a kernel bug
+    assert res["sddmm_max_err"] < 2e-3, res
+    assert res["sddmm_grad_max_err"] < 2e-2, res
+    assert res["agg_mean_max_err"] < 2e-3, res
+    assert res["agg_max_max_err"] < 2e-3, res
