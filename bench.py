@@ -9,16 +9,27 @@ Workloads (BASELINE.json north star):
   both pipelines:
     dense  = per-step device sampling, per-occurrence tree expansion
     cached = hierarchical epoch cache (train/cached.py) — the flagship
-  and both compute dtypes (f32 / bf16 MXU-native).
+  across compute dtypes (f32 / bf16 MXU-native), aggregators (MEAN / MAX —
+  the two the reference benchmarks), and learn methods (sup / unsup —
+  the unsup row runs the pair-loss SDDMM block each step).
+- A 10M-edge / 1M-node row lives in tools/bigscale_bench.py →
+  BIGSCALE_r02.json (synthetic generation costs ~100 s of host time, too
+  slow to pay on every bench run).
 
 Per row: step time, edges/s (edge-unit = B·K + B·(K+1)·K, identical to the
 reference accounting in tools/measure_reference.py), achieved matmul
 TFLOP/s and MFU vs the chip's dense bf16 peak.  The epoch-cache refresh is
 INSIDE the timed program (amortized over the scan), so cached rows pay
-their true cost.
+their true cost.  Step anatomy / roofline: PROFILE_CACHED.json (the step is
+bound by the backward scatter-add of the layer-1 table — random 256-byte
+row RMW, within ~2x of its HBM floor; MFU is reported for honesty, edges/s
+is the north-star metric for this memory-bound workload).
 
 Baseline: the torch reference measured on this machine class is host-bound
-at ~409,565 edges/s (flat in batch size and workload; BASELINE.md).
+at ~409,565 edges/s for MEAN and ~360,559 for MAX (flat in batch size and
+workload; BASELINE.md).  The reference's unsup step was not separately
+measurable per-step (protocol wall time only); unsup rows compare against
+the MEAN sup baseline — encode-side edge accounting is identical.
 
 Prints ONE JSON line (the headline: biggest-workload cached bf16 row) and
 writes every row to BENCH_DETAIL.json.
@@ -31,7 +42,8 @@ import time
 
 import numpy as np
 
-REFERENCE_EDGES_PER_SEC = 409_565.0  # torch-CPU reference, measured
+# torch-CPU reference, measured on this machine class (BASELINE.md)
+REFERENCE_EDGES_PER_SEC = {"MEAN": 409_565.0, "MAX": 360_559.0}
 
 # dense bf16 matmul peak by device kind (TFLOP/s); f32 matmuls on these
 # chips run through the same MXU (bf16 passes), so one peak per chip
@@ -80,18 +92,42 @@ def edges_per_batch(batch_size: int, num_layers: int, fanout: int) -> int:
     return total
 
 
-def run_row(name, ds, pad, pipeline, batch, dtype, fanout=10, hidden=128,
-            steps=20, note=None):
+def _row_from_dt(name, pipeline, dtype, batch, ds, pad, dt, fanout, hidden,
+                 agg="MEAN", note=None):
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(device_kind)
+    flops = matmul_flops_per_step(pipeline, ds.num_nodes, ds.feature_dim,
+                                  batch, fanout, hidden, ds.num_classes)
+    edges = edges_per_batch(batch, 2, fanout)
+    ref = REFERENCE_EDGES_PER_SEC[agg]
+    row = {
+        "name": name, "pipeline": pipeline, "dtype": dtype, "agg": agg,
+        "batch": batch, "nodes": ds.num_nodes,
+        "edge_slots": int(pad.true_degrees.sum()),
+        "step_ms": round(dt * 1000, 3),
+        "edges_per_sec": round(edges / dt, 1),
+        "matmul_tflops_per_sec": round(flops / dt / 1e12, 2),
+        "mfu": round(flops / dt / 1e12 / peak, 4) if peak else None,
+        "device": device_kind,
+        "vs_reference": round(edges / dt / ref, 1),
+    }
+    if note:
+        row["note"] = note
+    return row
+
+
+def _setup(ds, pad, dtype, batch, steps, hidden, agg="MEAN"):
     import jax
     import jax.numpy as jnp
 
     from graphsage_tpu.models import GraphSageConfig, init_graphsage
     from graphsage_tpu.models.layers import init_classifier
-    from graphsage_tpu.train.cached import make_cached_sup_epoch
-    from graphsage_tpu.train.dense import make_dense_sup_epoch
 
     mcfg = GraphSageConfig(num_layers=2, input_size=ds.feature_dim,
-                           out_size=hidden, compute_dtype=dtype)
+                           out_size=hidden, compute_dtype=dtype,
+                           agg_func=agg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(824))
     params = {"sage": init_graphsage(k1, mcfg),
               "clf": init_classifier(k2, hidden, ds.num_classes)}
@@ -103,38 +139,99 @@ def run_row(name, ds, pad, pipeline, batch, dtype, fanout=10, hidden=128,
                                       size=(steps, batch)).astype(np.int32))
     labels = jnp.take(jnp.asarray(ds.labels.astype(np.int32)), batches,
                       axis=0)
-    key = jax.random.PRNGKey(824)
+    return mcfg, params, feats, neighbors, degrees, batches, labels
 
-    mk = make_cached_sup_epoch if pipeline == "cached" else make_dense_sup_epoch
-    epoch_fn = jax.jit(mk(mcfg, fanout=fanout))
-    args = (params, feats, neighbors, degrees, batches, labels, key)
-    # warmup + compile; NB value fetch — block_until_ready alone has been
-    # observed not to block on experimental remote TPU backends
+
+def _timed(epoch_fn, args, steps):
+    """Warmup-compile then time one fetched call; NB value fetch —
+    block_until_ready alone has been observed not to block on experimental
+    remote TPU backends."""
     _, losses = epoch_fn(*args)
     np.asarray(losses)
     t0 = time.perf_counter()
     _, losses = epoch_fn(*args)
     np.asarray(losses)
-    dt = (time.perf_counter() - t0) / steps
+    return (time.perf_counter() - t0) / steps
 
-    device_kind = jax.devices()[0].device_kind
-    peak = PEAK_TFLOPS.get(device_kind)
-    flops = matmul_flops_per_step(pipeline, ds.num_nodes, ds.feature_dim,
-                                  batch, fanout, hidden, ds.num_classes)
-    edges = edges_per_batch(batch, 2, fanout)
-    row = {
-        "name": name, "pipeline": pipeline, "dtype": dtype,
-        "batch": batch, "nodes": ds.num_nodes,
-        "edge_slots": int(pad.true_degrees.sum()),
-        "step_ms": round(dt * 1000, 3),
-        "edges_per_sec": round(edges / dt, 1),
-        "matmul_tflops_per_sec": round(flops / dt / 1e12, 2),
-        "mfu": round(flops / dt / 1e12 / peak, 4) if peak else None,
-        "device": device_kind,
-        "vs_reference": round(edges / dt / REFERENCE_EDGES_PER_SEC, 1),
+
+def run_row(name, ds, pad, pipeline, batch, dtype, fanout=10, hidden=128,
+            steps=20, agg="MEAN", note=None):
+    import jax
+
+    from graphsage_tpu.train.cached import make_cached_sup_epoch
+    from graphsage_tpu.train.dense import make_dense_sup_epoch
+
+    (mcfg, params, feats, neighbors, degrees, batches,
+     labels) = _setup(ds, pad, dtype, batch, steps, hidden, agg)
+    key = jax.random.PRNGKey(824)
+
+    mk = make_cached_sup_epoch if pipeline == "cached" else make_dense_sup_epoch
+    epoch_fn = jax.jit(mk(mcfg, fanout=fanout))
+    dt = _timed(epoch_fn,
+                (params, feats, neighbors, degrees, batches, labels, key),
+                steps)
+    return _row_from_dt(name, pipeline, dtype, batch, ds, pad, dt, fanout,
+                        hidden, agg, note)
+
+
+def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
+                  steps=20, n_targets=4096, n_pos=6, n_neg=20):
+    """Unsup (normal) cached row: encode + SDDMM pair-score block + loss.
+
+    Pair tensors are synthesized at production shapes (walk positives P=6,
+    negatives M=20 per target, targets = batch/8 with the rest the
+    endpoint-union extension) — index content does not affect step time,
+    the host pair samplers are benched separately (PREFETCH_r02.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.train.cached import (make_cached_unsup_step,
+                                            refresh_leaf_cache)
+
+    (mcfg, params, feats, neighbors, degrees, batches,
+     labels) = _setup(ds, pad, dtype, batch, steps, hidden)
+    rng = np.random.RandomState(3)
+    pairs = {
+        "target_rows": jnp.asarray(np.arange(n_targets, dtype=np.int32)),
+        "pos_q": jnp.asarray(rng.randint(0, batch, (n_targets, n_pos))
+                             .astype(np.int32)),
+        "pos_mask": jnp.ones((n_targets, n_pos), jnp.float32),
+        "neg_q": jnp.asarray(rng.randint(0, batch, (n_targets, n_neg))
+                             .astype(np.int32)),
+        "neg_mask": jnp.ones((n_targets, n_neg), jnp.float32),
+        "node_valid": jnp.ones((n_targets,), jnp.float32),
     }
-    if note:
-        row["note"] = note
+    step = make_cached_unsup_step(mcfg, unsup_loss="normal", fanout=fanout)
+
+    @jax.jit
+    def epoch(params, feats, neighbors, degrees, batches, labels, key):
+        k_cache, k_steps = jax.random.split(key)
+        cache_feats, cache_count = refresh_leaf_cache(
+            k_cache, feats, neighbors, degrees, fanout)
+
+        def body(carry, xs):
+            p, k = carry
+            b, lab = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, feats, cache_feats, cache_count, neighbors,
+                           degrees, b, lab, pairs, sub)
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(body, (params, k_steps),
+                                           (batches, labels))
+        return params, losses
+
+    dt = _timed(epoch,
+                (params, feats, neighbors, degrees, batches, labels,
+                 jax.random.PRNGKey(824)),
+                steps)
+    row = _row_from_dt(name, "cached", dtype, batch, ds, pad, dt, fanout,
+                       hidden, "MEAN",
+                       note=(f"unsup normal loss each step: SDDMM score "
+                             f"block [{n_targets}x{batch}] + Q-weighted "
+                             f"loss; vs_reference uses the MEAN sup "
+                             f"baseline (see module docstring)"))
+    row["learn_method"] = "unsup"
     return row
 
 
@@ -157,24 +254,33 @@ def main() -> None:
     pl = synthetic_power_law(100_000, 1_000_000, num_feats=602,
                              num_classes=16, seed=0)
     pl_pad = pl.graph.to_padded_sampled(32, np.random.RandomState(99))
-    for pipeline, batch, dtype in [("dense", 4096, "bfloat16"),
-                                   ("cached", 32768, "float32"),
-                                   ("cached", 32768, "bfloat16")]:
+    for pipeline, batch, dtype, agg in [
+            ("dense", 4096, "bfloat16", "MEAN"),
+            ("cached", 32768, "float32", "MEAN"),
+            ("cached", 32768, "bfloat16", "MEAN"),
+            ("cached", 32768, "bfloat16", "MAX"),
+            ("cached", 65536, "bfloat16", "MEAN")]:
+        suffix = "" if agg == "MEAN" else f"_{agg.lower()}"
         rows.append(run_row(
-            f"powerlaw100k_b{batch}_{pipeline}_{dtype}", pl, pl_pad,
-            pipeline, batch, dtype))
+            f"powerlaw100k_b{batch}_{pipeline}_{dtype}{suffix}", pl, pl_pad,
+            pipeline, batch, dtype, agg=agg))
         print_row(rows[-1])
+
+    rows.append(run_unsup_row("powerlaw100k_b32768_cached_bfloat16_unsup",
+                              pl, pl_pad, 32768, "bfloat16"))
+    print_row(rows[-1])
 
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(rows, f, indent=1)
 
-    head = rows[-1]  # biggest workload, cached bf16
+    head = next(r for r in rows
+                if r["name"] == "powerlaw100k_b65536_cached_bfloat16")
     print(json.dumps({
         "metric": "edges_per_sec_per_chip",
         "value": head["edges_per_sec"],
         "unit": "edges/s",
         "vs_baseline": round(head["edges_per_sec"]
-                             / REFERENCE_EDGES_PER_SEC, 3),
+                             / REFERENCE_EDGES_PER_SEC["MEAN"], 3),
     }))
 
 

@@ -33,8 +33,11 @@ Depths < L keep fresh per-step sampling.  Quality is validated against the
 per-step pipeline in tests/test_cached.py and BASELINE.md records full
 50-epoch Cora F1 parity.
 
-Restriction: MEAN aggregator (the cache exploits linearity of the mean);
-gcn mode is supported via the exact count-weighted self mix-in.
+Aggregators: MEAN (the count-weighted gcn mix-in keeps gcn mode exact) and
+MAX (elementwise max over the epoch-fixed leaf sample is itself a constant
+table; gcn mode mixes the self row in with one more elementwise max).  LSTM
+cannot be cached (order-dependent with parameters upstream of the leaf
+gather) — it stays on the dense pipeline.
 """
 
 from __future__ import annotations
@@ -45,20 +48,21 @@ import jax.numpy as jnp
 from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
 from graphsage_tpu.models import GraphSageConfig, classifier_apply
 from graphsage_tpu.models.layers import sage_layer_apply
-from graphsage_tpu.ops.aggregate import mean_aggregate
+from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
 from graphsage_tpu.sampler.device import _sample_one_hop, sample_frontiers_dense
 from graphsage_tpu.train.dense import cast_compute
 from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 
 
 def refresh_leaf_cache(key: jax.Array, feats: jax.Array, neighbors: jax.Array,
-                       degrees: jax.Array, fanout: int):
-    """Per-epoch cache refresh, fully on device (~10 ms at 100k nodes).
+                       degrees: jax.Array, fanout: int, agg: str = "MEAN"):
+    """Per-epoch cache refresh, fully on device (~29 ms at 100k nodes).
 
-    Returns (mean_feats [N, D], cache_count [N]): the masked mean of raw
-    features over a fresh uniform ``fanout``-subset per node, and the
-    number of valid slots (needed for the exact gcn self mix-in).
-    jit this once and call at every epoch boundary.
+    Returns (agg_feats [N, D], cache_count [N]): the masked mean (or
+    elementwise max, ``agg="MAX"``) of raw features over a fresh uniform
+    ``fanout``-subset per node, and the number of valid slots (needed for
+    the exact gcn self mix-in / emptiness test).  jit this once and call at
+    every epoch boundary.
     """
     n = neighbors.shape[0]
     all_nodes = jnp.arange(n, dtype=jnp.int32)
@@ -69,22 +73,40 @@ def refresh_leaf_cache(key: jax.Array, feats: jax.Array, neighbors: jax.Array,
     # src/models.py:285,297-298)
     valid = valid & (samples != all_nodes[:, None])
     mask = valid.astype(feats.dtype)
-    mean_feats = mean_aggregate(feats, samples, mask)
-    return mean_feats, jnp.sum(mask, axis=1)
+    if agg == "MAX":
+        agg_feats = max_aggregate(feats, samples, mask)
+    else:
+        agg_feats = mean_aggregate(feats, samples, mask)
+    return agg_feats, jnp.sum(mask, axis=1)
 
 
-def cached_forward(params, mcfg: GraphSageConfig, feats, mean_feats,
+def _gcn_mix(self_f, agg_f, cnt, is_max: bool):
+    """gcn aggregates over sample ∪ self (src/models.py:297-298): exact
+    count-weighted mix of the cached mean, or one more elementwise max for
+    MAX (empty sample → self alone, matching ops/aggregate semantics)."""
+    cnt = cnt[..., None] if cnt.ndim == self_f.ndim - 1 else cnt
+    cnt = cnt.astype(self_f.dtype)
+    if is_max:
+        return jnp.where(cnt > 0, jnp.maximum(agg_f, self_f), self_f)
+    return (cnt * agg_f + self_f) / (cnt + 1.0)
+
+
+def cached_forward(params, mcfg: GraphSageConfig, feats, cache_feats,
                    cache_count, neighbors, degrees, batch, key,
                    fanout: int = 10):
     """Encode a batch of node ids: [B] -> [B, out_size].
 
-    ``feats``/``mean_feats``/``cache_count`` are the epoch-constant tables;
-    everything else matches dense_forward's contract.
+    ``feats``/``cache_feats``/``cache_count`` are the epoch-constant tables
+    (``cache_feats`` = mean or elementwise-max of the leaf sample per
+    ``mcfg.agg_func``, from :func:`refresh_leaf_cache`); everything else
+    matches dense_forward's contract.
     """
-    assert mcfg.agg_func == "MEAN", "leaf cache exploits mean linearity"
+    assert mcfg.agg_func in ("MEAN", "MAX"), \
+        "leaf cache needs a constant-table aggregator (LSTM: dense path)"
+    is_max = mcfg.agg_func == "MAX"
     params = cast_compute(params, mcfg)
     feats = cast_compute(feats, mcfg)
-    mean_feats = cast_compute(mean_feats, mcfg)
+    cache_feats = cast_compute(cache_feats, mcfg)
     sage = params["sage"]
 
     if mcfg.num_layers == 1:
@@ -99,40 +121,42 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, mean_feats,
     #
     # per-occurrence: gather [M, D] rows from the constant tables, then
     #   GEMM.  Wide-row gathers are byte-bound (~42-67 GB/s measured);
-    #   cost ∝ M·D.  No scatter in the backward (tables are constant).
+    #   cost ∝ M·2D random bytes.  No scatter in the backward (tables are
+    #   constant).
     # full-table: compute relu(W1·[feats ‖ meanF]) for ALL N nodes (the
-    #   tables are read SEQUENTIALLY by the GEMM at full HBM bandwidth),
-    #   then gather M narrow [H]-wide rows (row-bound, ~170M rows/s).
-    #   The backward adds a d(H1)-scatter of M rows — still far cheaper
-    #   than M wide gathers once M exceeds N.
+    #   tables are read SEQUENTIALLY by the GEMM at full HBM bandwidth,
+    #   measured ~16x the random-row rate), then gather M narrow [H]-wide
+    #   rows; the backward adds a d(H1)-scatter of M rows (~2 more random
+    #   [H]-row moves).
     #
-    # Both static shapes are known at trace time; pick full-table when the
-    # frontier outnumbers the table.
+    # Both static shapes are known at trace time; pick by the byte cost
+    # model (random-access units): full-table ≈ N·2D/16 + 3·M·H vs
+    # per-occurrence ≈ M·2D.  At D=602, H=128 the crossover is M ≈ N/11 —
+    # NOT M ≥ N (PROFILE_CACHED.json / BASELINE.md round-2 analysis).
     m1 = ids.shape[0]
     n = feats.shape[0]
     w1 = sage["layers"][0]
+    feat2 = feats.shape[1] if mcfg.gcn else 2 * feats.shape[1]
+    hdim1 = w1["weight"].shape[0]
+    full_table = n * feat2 / 16 + 3 * m1 * hdim1 < m1 * feat2
     if mcfg.gcn:
-        cnt_all = cache_count[:, None].astype(feats.dtype)
-        if m1 >= n:
-            mixed_t = (cnt_all * mean_feats + feats) / (cnt_all + 1.0)
+        if full_table:
+            mixed_t = _gcn_mix(feats, cache_feats, cache_count, is_max)
             h1_table = sage_layer_apply(w1, mixed_t, mixed_t, gcn=True)
             h = jnp.take(h1_table, ids, axis=0)
         else:
             self_f = jnp.take(feats, ids, axis=0)
-            agg_f = jnp.take(mean_feats, ids, axis=0)
-            cnt = jnp.take(cache_count, ids, axis=0)[:, None].astype(
-                self_f.dtype)
-            # gcn aggregates over sample ∪ self (src/models.py:297-298):
-            # exact count-weighted mix of the cached mean
-            mixed = (cnt * agg_f + self_f) / (cnt + 1.0)
+            agg_f = jnp.take(cache_feats, ids, axis=0)
+            cnt = jnp.take(cache_count, ids, axis=0)
+            mixed = _gcn_mix(self_f, agg_f, cnt, is_max)
             h = sage_layer_apply(w1, mixed, mixed, gcn=True)
     else:
-        if m1 >= n:
-            h1_table = sage_layer_apply(w1, feats, mean_feats, gcn=False)
+        if full_table:
+            h1_table = sage_layer_apply(w1, feats, cache_feats, gcn=False)
             h = jnp.take(h1_table, ids, axis=0)
         else:
             self_f = jnp.take(feats, ids, axis=0)
-            agg_f = jnp.take(mean_feats, ids, axis=0)
+            agg_f = jnp.take(cache_feats, ids, axis=0)
             h = sage_layer_apply(w1, self_f, agg_f, gcn=False)
 
     # layers 2..L: the dense tree stores the children of parent u at rows
@@ -144,8 +168,14 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, mean_feats,
         hdim = h.shape[1]
         hr = h.reshape(-1, k + 1, hdim)
         mask = frontier.mask.astype(h.dtype)              # [U, K+1]
-        cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
-        agg = jnp.einsum("ukh,uk->uh", hr, mask) / cnt
+        if is_max:
+            neg = jnp.asarray(-jnp.inf, h.dtype)
+            agg = jnp.max(jnp.where(mask[..., None] > 0, hr, neg), axis=1)
+            any_valid = jnp.any(mask > 0, axis=1, keepdims=True)
+            agg = jnp.where(any_valid, agg, jnp.zeros_like(agg))
+        else:
+            cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+            agg = jnp.einsum("ukh,uk->uh", hr, mask) / cnt
         h = sage_layer_apply(sage["layers"][li], hr[:, 0], agg,
                              gcn=mcfg.gcn)
     return h
@@ -154,13 +184,13 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, mean_feats,
 def make_cached_sup_step(mcfg: GraphSageConfig, fanout: int = 10,
                          lr: float = 0.7, clip: float = 5.0):
     """Supervised step on the leaf-cached pipeline.  Signature:
-    step(params, feats, mean_feats, cache_count, neighbors, degrees,
+    step(params, feats, cache_feats, cache_count, neighbors, degrees,
     batch, labels, key) -> (params, loss)."""
 
-    def step(params, feats, mean_feats, cache_count, neighbors, degrees,
+    def step(params, feats, cache_feats, cache_count, neighbors, degrees,
              batch, labels, key):
         def loss_fn(p):
-            embs = cached_forward(p, mcfg, feats, mean_feats, cache_count,
+            embs = cached_forward(p, mcfg, feats, cache_feats, cache_count,
                                   neighbors, degrees, batch, key, fanout)
             logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
             mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
@@ -180,10 +210,10 @@ def make_cached_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
     """Unsup / plus_unsup step on the leaf-cached pipeline (same pair
     tensor contract as make_dense_unsup_step)."""
 
-    def step(params, feats, mean_feats, cache_count, neighbors, degrees,
+    def step(params, feats, cache_feats, cache_count, neighbors, degrees,
              batch, labels, pairs, key):
         def loss_fn(p):
-            embs = cached_forward(p, mcfg, feats, mean_feats, cache_count,
+            embs = cached_forward(p, mcfg, feats, cache_feats, cache_count,
                                   neighbors, degrees, batch, key, fanout)
             loss = unsup_loss_from_pairbatch(embs, pairs, unsup_loss,
                                              q=q, margin=margin)
@@ -211,14 +241,14 @@ def make_cached_sup_epoch(mcfg: GraphSageConfig, fanout: int = 10,
 
     def epoch(params, feats, neighbors, degrees, batches, labels, key):
         k_cache, k_steps = jax.random.split(key)
-        mean_feats, cache_count = refresh_leaf_cache(
-            k_cache, feats, neighbors, degrees, fanout)
+        cache_feats, cache_count = refresh_leaf_cache(
+            k_cache, feats, neighbors, degrees, fanout, agg=mcfg.agg_func)
 
         def body(carry, xs):
             p, k = carry
             batch, lab = xs
             k, sub = jax.random.split(k)
-            p, loss = step(p, feats, mean_feats, cache_count, neighbors,
+            p, loss = step(p, feats, cache_feats, cache_count, neighbors,
                            degrees, batch, lab, sub)
             return (p, k), loss
 

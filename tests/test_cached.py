@@ -28,10 +28,12 @@ def _small_graph(rng, n=40):
     return CSRGraph.from_edges(n, src[keep], dst[keep])
 
 
+@pytest.mark.parametrize("agg", ["MEAN", "MAX"])
 @pytest.mark.parametrize("gcn", [False, True])
-def test_cached_equals_dense_under_takeall(gcn):
+def test_cached_equals_dense_under_takeall(gcn, agg):
     """With fanout >= max degree both pipelines are deterministic
-    (take-all), so cached_forward must equal dense_forward exactly."""
+    (take-all), so cached_forward must equal dense_forward exactly —
+    for MEAN and for the elementwise-MAX cache alike."""
     rng = np.random.RandomState(0)
     n, d, h = 40, 8, 6
     g = _small_graph(rng, n)
@@ -39,7 +41,8 @@ def test_cached_equals_dense_under_takeall(gcn):
     fanout = int(g.degrees.max()) + 1
     pad = g.to_padded()
 
-    mcfg = GraphSageConfig(num_layers=2, input_size=d, out_size=h, gcn=gcn)
+    mcfg = GraphSageConfig(num_layers=2, input_size=d, out_size=h, gcn=gcn,
+                           agg_func=agg)
     params = {"sage": init_graphsage(jax.random.PRNGKey(3), mcfg)}
     batch = jnp.asarray(rng.choice(n, 7, replace=False).astype(np.int32))
     neighbors = jnp.asarray(pad.neighbors)
@@ -47,13 +50,35 @@ def test_cached_equals_dense_under_takeall(gcn):
 
     dense_out = dense_forward(params, mcfg, feats, neighbors, degrees,
                               batch, jax.random.PRNGKey(5), fanout=fanout)
-    mean_feats, cnt = refresh_leaf_cache(jax.random.PRNGKey(6), feats,
-                                         neighbors, degrees, fanout)
-    cached_out = cached_forward(params, mcfg, feats, mean_feats, cnt,
+    cache_feats, cnt = refresh_leaf_cache(jax.random.PRNGKey(6), feats,
+                                          neighbors, degrees, fanout, agg=agg)
+    cached_out = cached_forward(params, mcfg, feats, cache_feats, cnt,
                                 neighbors, degrees, batch,
                                 jax.random.PRNGKey(7), fanout=fanout)
     np.testing.assert_allclose(np.asarray(cached_out), np.asarray(dense_out),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_cached_max_epoch_learns():
+    """The MAX leaf cache trains end-to-end through the epoch driver."""
+    ds = synthetic_power_law(300, 1500, num_feats=16, num_classes=4, seed=4)
+    pad = ds.graph.to_padded()
+    mcfg = GraphSageConfig(num_layers=2, input_size=16, out_size=16,
+                           agg_func="MAX")
+    key = jax.random.PRNGKey(0)
+    params = {"sage": init_graphsage(key, mcfg),
+              "clf": init_classifier(key, 16, 4)}
+    epoch_fn = jax.jit(make_cached_sup_epoch(mcfg, fanout=4, lr=0.3))
+    rng = np.random.RandomState(0)
+    batches = jnp.asarray(rng.choice(ds.train_nodes, (12, 32)).astype(np.int32))
+    labels = jnp.asarray(ds.labels)[batches]
+    _, losses = epoch_fn(params, jnp.asarray(ds.features),
+                         jnp.asarray(pad.neighbors),
+                         jnp.asarray(pad.degrees), batches, labels,
+                         jax.random.PRNGKey(1))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
 
 
 def test_cached_epoch_learns():
