@@ -41,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, default=None,
                    help="HOCON experiment file (reference-compatible)")
     # framework flags
+    p.add_argument("--pipeline", type=str, default="compact",
+                   choices=["compact", "cached"],
+                   help="compact = per-step reference-parity path (default);"
+                        " cached = leaf-cached scanned-epoch path, the "
+                        "single-chip throughput mode (BASELINE.md; not "
+                        "available for LSTM aggregation)")
+    p.add_argument("--table_cap", type=int, default=None,
+                   help="cached pipeline: cap the padded adjacency width "
+                        "(uniform subsample per epoch); None = full degree")
+    p.add_argument("--no_extend", action="store_true",
+                   help="cached pipeline: plain fixed-size supervised "
+                        "batches instead of the reference's pair-extended "
+                        "batches (the benchmarked fast configuration)")
     p.add_argument("--fanout", type=int, default=10)
     p.add_argument("--num_layers", type=int, default=None,
                    help="override config setting.num_layers")
@@ -116,7 +129,13 @@ def main(argv=None) -> int:
         except Exception as e:  # keep training if checkpointing fails
             print(f"checkpoint failed: {e}")
 
-    trainer = Trainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn)
+    if args.pipeline == "cached":
+        from graphsage_tpu.train import CachedTrainer
+        trainer = CachedTrainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn,
+                                table_cap=args.table_cap,
+                                extend_batches=not args.no_extend)
+    else:
+        trainer = Trainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn)
     trainer.max_vali_f1 = args.max_vali_f1
 
     if args.resume:

@@ -1,6 +1,7 @@
 from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 from graphsage_tpu.train.metrics import micro_f1
 from graphsage_tpu.train.trainer import Trainer, TrainConfig
+from graphsage_tpu.train.cached_trainer import CachedTrainer
 
 __all__ = [
     "clip_by_global_norm",
@@ -8,4 +9,5 @@ __all__ = [
     "micro_f1",
     "Trainer",
     "TrainConfig",
+    "CachedTrainer",
 ]

@@ -55,7 +55,9 @@ from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 
 
 def refresh_leaf_cache(key: jax.Array, feats: jax.Array, neighbors: jax.Array,
-                       degrees: jax.Array, fanout: int, agg: str = "MEAN"):
+                       degrees: jax.Array, fanout: int, agg: str = "MEAN",
+                       max_gather_bytes: int = 4 << 30,
+                       block: int | None = None):
     """Per-epoch cache refresh, fully on device (~29 ms at 100k nodes).
 
     Returns (agg_feats [N, D], cache_count [N]): the masked mean (or
@@ -63,21 +65,50 @@ def refresh_leaf_cache(key: jax.Array, feats: jax.Array, neighbors: jax.Array,
     ``fanout``-subset per node, and the number of valid slots (needed for
     the exact gcn self mix-in / emptiness test).  jit this once and call at
     every epoch boundary.
+
+    The aggregation gathers a ``[rows, fanout, D]`` temp; when that would
+    exceed ``max_gather_bytes`` (a 1M-node D=602 graph needs 24 GB) the
+    refresh runs as a `lax.scan` over node blocks, bounding peak HBM while
+    keeping identical per-node sampling semantics.  Scan blocks budget
+    1 GB of gather temp: TPU (8,128) tiling pads the [block, fanout, D]
+    temp up to ~1.7x (fanout 10 -> 16 sublanes), so a larger block OOMs
+    next to the feature/cache tables themselves at 1M-node scale.
     """
     n = neighbors.shape[0]
-    all_nodes = jnp.arange(n, dtype=jnp.int32)
-    samples, valid = _sample_one_hop(key, neighbors, degrees, all_nodes,
-                                     fanout)
-    # self-loop samples drop out of the aggregation set, matching the
-    # dense sampler's not_self mask (reference set dance,
-    # src/models.py:285,297-298)
-    valid = valid & (samples != all_nodes[:, None])
-    mask = valid.astype(feats.dtype)
-    if agg == "MAX":
-        agg_feats = max_aggregate(feats, samples, mask)
-    else:
-        agg_feats = mean_aggregate(feats, samples, mask)
-    return agg_feats, jnp.sum(mask, axis=1)
+    d = feats.shape[1]
+
+    def block_fn(k, ids):
+        samples, valid = _sample_one_hop(k, neighbors, degrees, ids, fanout)
+        # self-loop samples drop out of the aggregation set, matching the
+        # dense sampler's not_self mask (reference set dance,
+        # src/models.py:285,297-298)
+        valid = valid & (samples != ids[:, None])
+        mask = valid.astype(feats.dtype)
+        if agg == "MAX":
+            agg_feats = max_aggregate(feats, samples, mask)
+        else:
+            agg_feats = mean_aggregate(feats, samples, mask)
+        return agg_feats, jnp.sum(mask, axis=1)
+
+    row_bytes = fanout * d * jnp.dtype(feats.dtype).itemsize
+    if block is None:
+        if n * row_bytes <= max_gather_bytes:
+            return block_fn(key, jnp.arange(n, dtype=jnp.int32))
+        block = max(1024, min(n, int((1 << 30) // row_bytes)))
+        block -= block % 8  # sublane-aligned blocks tile cleanly
+    nb = -(-n // block)
+    # tail ids clamp to n-1: those rows recompute node n-1's aggregation
+    # and are sliced off below (first occurrence of every node id wins)
+    ids = jnp.minimum(jnp.arange(nb * block, dtype=jnp.int32), n - 1)
+    keys = jax.random.split(key, nb)
+
+    def body(carry, xs):
+        k, idb = xs
+        return carry, block_fn(k, idb)
+
+    _, (agg_blocks, cnt_blocks) = jax.lax.scan(
+        body, None, (keys, ids.reshape(nb, block)))
+    return agg_blocks.reshape(nb * block, d)[:n], cnt_blocks.reshape(-1)[:n]
 
 
 def _gcn_mix(self_f, agg_f, cnt, is_max: bool):
@@ -188,12 +219,13 @@ def make_cached_sup_step(mcfg: GraphSageConfig, fanout: int = 10,
     batch, labels, key) -> (params, loss)."""
 
     def step(params, feats, cache_feats, cache_count, neighbors, degrees,
-             batch, labels, key):
+             batch, labels, key, row_mask=None):
         def loss_fn(p):
             embs = cached_forward(p, mcfg, feats, cache_feats, cache_count,
                                   neighbors, degrees, batch, key, fanout)
             logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
-            mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
+            mask = (jnp.ones(batch.shape[0], dtype=jnp.float32)
+                    if row_mask is None else row_mask)
             return supervised_nll(logp, labels, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -211,7 +243,7 @@ def make_cached_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
     tensor contract as make_dense_unsup_step)."""
 
     def step(params, feats, cache_feats, cache_count, neighbors, degrees,
-             batch, labels, pairs, key):
+             batch, labels, pairs, key, row_mask=None):
         def loss_fn(p):
             embs = cached_forward(p, mcfg, feats, cache_feats, cache_count,
                                   neighbors, degrees, batch, key, fanout)
@@ -219,7 +251,8 @@ def make_cached_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
                                              q=q, margin=margin)
             if learn_method == "plus_unsup":
                 logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
-                mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
+                mask = (jnp.ones(batch.shape[0], dtype=jnp.float32)
+                        if row_mask is None else row_mask)
                 loss = loss + supervised_nll(logp, labels, mask)
             return loss
 
@@ -239,21 +272,65 @@ def make_cached_sup_epoch(mcfg: GraphSageConfig, fanout: int = 10,
     key) -> (params, losses [T])."""
     step = make_cached_sup_step(mcfg, fanout=fanout, lr=lr, clip=clip)
 
-    def epoch(params, feats, neighbors, degrees, batches, labels, key):
+    def epoch(params, feats, neighbors, degrees, batches, labels, key,
+              row_masks=None):
+        k_cache, k_steps = jax.random.split(key)
+        cache_feats, cache_count = refresh_leaf_cache(
+            k_cache, feats, neighbors, degrees, fanout, agg=mcfg.agg_func)
+        if row_masks is None:
+            row_masks = jnp.ones(batches.shape, jnp.float32)
+
+        def body(carry, xs):
+            p, k = carry
+            batch, lab, rmask = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, feats, cache_feats, cache_count, neighbors,
+                           degrees, batch, lab, sub, rmask)
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(body, (params, k_steps),
+                                           (batches, labels, row_masks))
+        return params, losses
+
+    return epoch
+
+
+def make_cached_unsup_epoch(mcfg: GraphSageConfig,
+                            unsup_loss: str = "normal", fanout: int = 10,
+                            lr: float = 0.7, clip: float = 5.0,
+                            learn_method: str = "unsup", q: float = 10.0,
+                            margin: float = 3.0):
+    """Whole-epoch unsup / plus_unsup driver: refresh the leaf cache, then
+    `lax.scan` the step over stacked extended batches + pair tensors.
+
+    epoch(params, feats, neighbors, degrees, batches [T, U], labels [T, U],
+    pair_stack {field: [T, ...]}, row_masks [T, U], key)
+    -> (params, losses [T]).  ``batches`` rows are the EXTENDED batches
+    (union of pair endpoints, reference src/models.py:135-148); pair index
+    fields point at rows of each step's extended-batch embedding matrix.
+    """
+    step = make_cached_unsup_step(mcfg, unsup_loss=unsup_loss,
+                                  fanout=fanout, lr=lr, clip=clip,
+                                  learn_method=learn_method, q=q,
+                                  margin=margin)
+
+    def epoch(params, feats, neighbors, degrees, batches, labels,
+              pair_stack, row_masks, key):
         k_cache, k_steps = jax.random.split(key)
         cache_feats, cache_count = refresh_leaf_cache(
             k_cache, feats, neighbors, degrees, fanout, agg=mcfg.agg_func)
 
         def body(carry, xs):
             p, k = carry
-            batch, lab = xs
+            batch, lab, pairs, rmask = xs
             k, sub = jax.random.split(k)
             p, loss = step(p, feats, cache_feats, cache_count, neighbors,
-                           degrees, batch, lab, sub)
+                           degrees, batch, lab, pairs, sub, rmask)
             return (p, k), loss
 
-        (params, _), losses = jax.lax.scan(body, (params, k_steps),
-                                           (batches, labels))
+        (params, _), losses = jax.lax.scan(
+            body, (params, k_steps), (batches, labels, pair_stack,
+                                      row_masks))
         return params, losses
 
     return epoch

@@ -59,6 +59,31 @@ def test_cached_equals_dense_under_takeall(gcn, agg):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("agg", ["MEAN", "MAX"])
+def test_refresh_chunked_matches_single_shot(agg):
+    """A tiny max_gather_bytes forces the lax.scan block path; under
+    take-all fanout (RNG-independent sampling) it must equal the
+    single-shot refresh exactly, including the clamped tail block."""
+    rng = np.random.RandomState(1)
+    n, d = 53, 8  # prime n: exercises an uneven tail block
+    g = _small_graph(rng, n)
+    feats = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    fanout = int(g.degrees.max()) + 1
+    pad = g.to_padded()
+    neighbors = jnp.asarray(pad.neighbors)
+    degrees = jnp.asarray(pad.degrees)
+
+    full_f, full_c = refresh_leaf_cache(jax.random.PRNGKey(9), feats,
+                                        neighbors, degrees, fanout, agg=agg)
+    # block=16 over n=53 -> 4 scan blocks with an uneven clamped tail
+    chunk_f, chunk_c = refresh_leaf_cache(
+        jax.random.PRNGKey(9), feats, neighbors, degrees, fanout, agg=agg,
+        block=16)
+    np.testing.assert_allclose(np.asarray(chunk_f), np.asarray(full_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(chunk_c), np.asarray(full_c))
+
+
 def test_cached_max_epoch_learns():
     """The MAX leaf cache trains end-to-end through the epoch driver."""
     ds = synthetic_power_law(300, 1500, num_feats=16, num_classes=4, seed=4)

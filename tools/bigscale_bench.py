@@ -55,10 +55,11 @@ def main():
                      "feat_dim": 602, "hidden": 128, "fanout": 10},
         "host_generation_s": round(gen_s, 1),
         "note": ("BASELINE config-5 scale on ONE chip; the epoch cache "
-                 "refresh (all 1M nodes) is inside the timed scan. "
-                 "Layer-1 runs per-occurrence here (frontier 720k < table "
-                 "1M rows -> gather-from-constant-tables mode, zero "
-                 "backward scatter)"),
+                 "refresh (all 1M nodes, lax.scan node blocks bounding the "
+                 "gather temp) is inside the timed scan.  The layer-1 cost "
+                 "model picks full-table mode at these shapes (352M vs "
+                 "868M random-access units at B=65536): sequential "
+                 "table GEMM over all 1M rows + narrow [H] gathers"),
         "rows": rows,
     }
     with open("BIGSCALE_r02.json", "w") as f:
