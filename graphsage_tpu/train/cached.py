@@ -190,10 +190,16 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, cache_feats,
             agg_f = jnp.take(cache_feats, ids, axis=0)
             h = sage_layer_apply(w1, self_f, agg_f, gcn=False)
 
-    # layers 2..L: the dense tree stores the children of parent u at rows
-    # [u·(K+1), (u+1)·(K+1)) with slot 0 = self, so aggregation is a pure
-    # reshape + masked reduce — no index ops, hence no gather/scatter
-    # anywhere above layer 1 (asserted in tests/test_cached.py)
+    return _upper_layers(sage, h, frontiers, fanout, is_max, mcfg.gcn)
+
+
+def _upper_layers(sage, h, frontiers, fanout: int, is_max: bool, gcn: bool):
+    """Layers 2..L: the dense tree stores the children of parent u at rows
+    [u·(K+1), (u+1)·(K+1)) with slot 0 = self, so aggregation is a pure
+    reshape + masked reduce — no index ops, hence no gather/scatter
+    anywhere above layer 1 (asserted in tests/test_cached.py).  Shared by
+    the single-device cached forward and the sharded epoch
+    (train/cached_dist.py)."""
     k = fanout
     for li, frontier in enumerate(frontiers, start=1):
         hdim = h.shape[1]
@@ -207,8 +213,7 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, cache_feats,
         else:
             cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
             agg = jnp.einsum("ukh,uk->uh", hr, mask) / cnt
-        h = sage_layer_apply(sage["layers"][li], hr[:, 0], agg,
-                             gcn=mcfg.gcn)
+        h = sage_layer_apply(sage["layers"][li], hr[:, 0], agg, gcn=gcn)
     return h
 
 

@@ -1,0 +1,206 @@
+"""Sharded leaf-cached training: the flagship throughput pipeline over a
+device mesh.
+
+The single-chip cached step (train/cached.py) is bound by the layer-1
+backward — a scatter-add of d(h1_table): M random [H]-row read-modify-
+writes per step (PROFILE_CACHED.json: 6.4 ms of the 10 ms B=32768 step).
+That op has no faster exact single-chip formulation (every alternative is
+a sort, a wide gather, or a one-hot GEMM — all measured slower), but it
+parallelizes perfectly: shard the node-table ROWS over the mesh and every
+per-row cost divides by the device count while the collectives ride ICI
+in narrow H-space.
+
+Per-device program (shard_map over the ``data`` axis, P = n_devices):
+
+- refresh: each device draws + aggregates the leaf cache for its OWN
+  N/P-row range (per-epoch work / P; no collective — full-table layer 1
+  only ever reads local cache rows);
+- layer 1 forward: ``h1_local = relu(W1·[X_local ‖ C_local])`` — an
+  N/P-row sequential GEMM — then ``all_gather(h1_local)`` assembles the
+  [N, H] activation table (N·H·2 bytes over ICI, D/H-fold smaller than
+  gathering features);
+- layers 2..L, loss: device-local over the device's batch shard
+  (per-device in-jit sampling, B/P rows);
+- backward (autodiff of the above): each device scatter-adds only its
+  OWN M/P rows into [N, H]; the all_gather transposes to a
+  ``psum_scatter``, landing each device its local d(h1) shard; the dW1
+  GEMM runs over local rows; ``pmean`` inside the loss makes the final
+  grads replicated.  The bottleneck scatter is P-way parallel.
+
+Tables (feats/neighbors/degrees) stay replicated — at config-5 scale
+(1M × 602 f32 = 2.4 GB) they fit HBM; the memory-partitioned story is the
+halo pipeline (train/distributed.py).  This module shards the COMPUTE.
+
+One epoch is ONE XLA program: refresh + `lax.scan` over the step stack,
+same contract as train/cached.py's epoch drivers with a [n_dev] axis
+inserted in the batch tensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphsage_tpu.losses import supervised_nll
+from graphsage_tpu.models import GraphSageConfig, classifier_apply
+from graphsage_tpu.models.layers import sage_layer_apply
+from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
+from graphsage_tpu.sampler.device import _sample_one_hop, sample_frontiers_dense
+from graphsage_tpu.train.cached import _gcn_mix, _upper_layers
+from graphsage_tpu.train.dense import cast_compute
+from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
+
+
+# --------------------------------------------------------------------- host
+def pad_node_tables(feats: np.ndarray, neighbors: np.ndarray,
+                    degrees: np.ndarray, n_dev: int):
+    """Pad the [N, ...] node tables to a multiple of n_dev rows so they
+    shard evenly.  Padded rows have degree 0 (never sampled — adjacency
+    only points at real nodes — and their cache/h1 rows are all-zero)."""
+    n = feats.shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad == n:
+        return feats, neighbors, degrees
+    extra = n_pad - n
+    feats = np.concatenate(
+        [feats, np.zeros((extra, feats.shape[1]), feats.dtype)])
+    neighbors = np.concatenate(
+        [neighbors, np.zeros((extra, neighbors.shape[1]), neighbors.dtype)])
+    degrees = np.concatenate([degrees, np.zeros(extra, degrees.dtype)])
+    return feats, neighbors, degrees
+
+
+def build_epoch_stack(train_nodes: np.ndarray, labels: np.ndarray,
+                      n_dev: int, b_sz: int, rng: np.random.RandomState):
+    """Shuffle + pack one epoch into sharded step tensors.
+
+    Returns (batches [T, n_dev, b_loc] int32, labels [T, n_dev, b_loc]
+    int32, row_masks [T, n_dev, b_loc] f32) where b_loc = b_sz // n_dev;
+    the wrap-padded tail rows carry row_mask 0 (same semantics as the
+    single-device epoch driver's masked tail)."""
+    assert b_sz % n_dev == 0, (b_sz, n_dev)
+    order = rng.permutation(train_nodes).astype(np.int32)
+    t = -(-len(order) // b_sz)
+    padded = np.resize(order, t * b_sz)
+    masks = np.ones(t * b_sz, np.float32)
+    masks[len(order):] = 0.0
+    batches = padded.reshape(t, n_dev, b_sz // n_dev)
+    row_masks = masks.reshape(t, n_dev, b_sz // n_dev)
+    labs = labels[batches].astype(np.int32)
+    return batches, labs, row_masks
+
+
+# ------------------------------------------------------------------- device
+def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
+                           fanout: int = 10, lr: float = 0.7,
+                           clip: float = 5.0, axis: str = "data"):
+    """Sharded supervised cached-epoch program.
+
+    epoch(params, feats, neighbors, degrees, batches [T, n_dev, b_loc],
+    labels [T, n_dev, b_loc], row_masks [T, n_dev, b_loc], key)
+    -> (params, losses [T]).  params/tables replicated; batch tensors
+    sharded over ``axis``; tables must be pre-padded to a multiple of
+    n_dev rows (pad_node_tables).
+    """
+    n_dev = mesh.shape[axis]
+    is_max = mcfg.agg_func == "MAX"
+    assert mcfg.agg_func in ("MEAN", "MAX"), \
+        "leaf cache needs a constant-table aggregator (LSTM: compact path)"
+
+    def local_epoch(params, feats, neighbors, degrees, batches, labels,
+                    row_masks, key):
+        batches = batches[:, 0]                    # [T, b_loc] local shard
+        labels, row_masks = labels[:, 0], row_masks[:, 0]
+        idx = jax.lax.axis_index(axis)
+        rows_per = feats.shape[0] // n_dev
+        r0 = idx * rows_per
+        k_cache, k_steps = jax.random.split(key)
+
+        # per-epoch leaf-cache refresh over the LOCAL row range (work / P)
+        ids_local = r0 + jnp.arange(rows_per, dtype=jnp.int32)
+        samples, valid = _sample_one_hop(
+            jax.random.fold_in(k_cache, idx), neighbors, degrees,
+            ids_local, fanout)
+        # self-loop samples drop out of the aggregation set (reference set
+        # dance, src/models.py:285,297-298 — same as refresh_leaf_cache)
+        valid = valid & (samples != ids_local[:, None])
+        mask = valid.astype(feats.dtype)
+        cache_local = (max_aggregate if is_max else mean_aggregate)(
+            feats, samples, mask)                  # [rows_per, D]
+        cnt_local = jnp.sum(mask, axis=1)
+        x_local = jax.lax.dynamic_slice_in_dim(feats, r0, rows_per, axis=0)
+
+        def step(p, batch, lab, rmask, k_dev):
+            def loss_fn(pp):
+                pp = cast_compute(pp, mcfg)
+                xl = cast_compute(x_local, mcfg)
+                cl = cast_compute(cache_local, mcfg)
+                w1 = pp["sage"]["layers"][0]
+                if mcfg.gcn:
+                    mixed = _gcn_mix(xl, cl, cnt_local, is_max)
+                    h1_local = sage_layer_apply(w1, mixed, mixed, gcn=True)
+                else:
+                    h1_local = sage_layer_apply(w1, xl, cl, gcn=False)
+                # [N, H] activation table; the backward of this collective
+                # is a psum_scatter, splitting the d(h1) scatter-add P ways
+                h1_full = jax.lax.all_gather(h1_local, axis, axis=0,
+                                             tiled=True)
+                if mcfg.num_layers == 1:
+                    ids, frontiers = jnp.asarray(batch, jnp.int32), []
+                else:
+                    ids, frontiers = sample_frontiers_dense(
+                        k_dev, neighbors, degrees, batch,
+                        num_layers=mcfg.num_layers - 1, fanout=fanout,
+                        gcn=mcfg.gcn)
+                h = jnp.take(h1_full, ids, axis=0)
+                h = _upper_layers(pp["sage"], h, frontiers, fanout, is_max,
+                                  mcfg.gcn)
+                logp = classifier_apply(pp["clf"], h)
+                # pmean INSIDE the differentiated function so autodiff
+                # inserts the gradient collective (train/distributed.py's
+                # unreduced-vma note)
+                return jax.lax.pmean(
+                    supervised_nll(logp, lab, rmask), axis)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            grads = {k: clip_by_global_norm(g, clip)
+                     for k, g in grads.items()}
+            return sgd_update(p, grads, lr), loss
+
+        def body(carry, xs):
+            p, k = carry
+            batch, lab, rmask = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, batch, lab, rmask,
+                           jax.random.fold_in(sub, idx))
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(
+            body, (params, k_steps), (batches, labels, row_masks))
+        return params, losses
+
+    sharded = shard_map(
+        local_epoch, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, axis, None),
+                  P(None, axis, None), P(None, axis, None), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def place_epoch_inputs(mesh: Mesh, feats, neighbors, degrees, batches,
+                       labels, row_masks, axis: str = "data"):
+    """Device-put the epoch tensors with their shardings (tables
+    replicated, batch stacks sharded over the [n_dev] dim)."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(None, axis, None))
+    return (jax.device_put(jnp.asarray(feats), repl),
+            jax.device_put(jnp.asarray(neighbors), repl),
+            jax.device_put(jnp.asarray(degrees), repl),
+            jax.device_put(jnp.asarray(batches), shard),
+            jax.device_put(jnp.asarray(labels), shard),
+            jax.device_put(jnp.asarray(row_masks), shard))

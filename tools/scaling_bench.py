@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--fanout", type=int, default=10)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--devices", type=str, default="1,2,4,8")
+    ap.add_argument("--pipeline", type=str, default="halo",
+                    choices=["halo", "cached"],
+                    help="halo = edge-partitioned features + all_to_all "
+                         "exchange; cached = sharded leaf-cached epoch "
+                         "(row-sharded layer-1 table, all_gather fwd / "
+                         "psum_scatter bwd)")
     ap.add_argument("--out", type=str, default=None,
                     help="write the full results list as JSON to this path")
     ap.add_argument("--cpu", action="store_true",
@@ -80,6 +86,46 @@ def main():
         mesh = Mesh(np.asarray(jax.devices()[:n_dev]),
                     axis_names=("data",))
         params = jax.device_put(base_params, NamedSharding(mesh, P()))
+
+        if args.pipeline == "cached":
+            from graphsage_tpu.train.cached_dist import (
+                build_epoch_stack,
+                make_cached_dist_epoch,
+                pad_node_tables,
+                place_epoch_inputs,
+            )
+
+            pad = ds.graph.to_padded_sampled(32, np.random.RandomState(0))
+            feats, neighbors, degrees = pad_node_tables(
+                ds.features, pad.neighbors, pad.degrees, n_dev)
+            epoch_fn = make_cached_dist_epoch(mcfg, mesh,
+                                              fanout=args.fanout, lr=0.1)
+            b = n_dev * args.b_loc
+            batches, labs, masks = build_epoch_stack(
+                ds.train_nodes, ds.labels, n_dev, b, rng)
+            t_steps = min(args.steps, batches.shape[0])
+            ep_args = place_epoch_inputs(
+                mesh, feats, neighbors, degrees, batches[:t_steps],
+                labs[:t_steps], masks[:t_steps])
+            key = jax.random.PRNGKey(0)
+            params, losses = epoch_fn(params, *ep_args, key)  # compile
+            jax.block_until_ready(losses)
+            t0 = time.perf_counter()
+            reps = 3
+            for r in range(reps):
+                params, losses = epoch_fn(
+                    params, *ep_args, jax.random.PRNGKey(r + 1))
+            jax.block_until_ready(losses)
+            dt = (time.perf_counter() - t0) / (reps * t_steps)
+            edges = edges_per_batch(args.b_loc, 2, args.fanout) * n_dev
+            eps = edges / dt
+            results.append({"devices": n_dev, "edges_per_sec": round(eps),
+                            "step_ms": round(dt * 1000, 2)})
+            base = results[0]["edges_per_sec"] * n_dev
+            results[-1]["scaling_efficiency"] = round(
+                eps / base if base else 0, 3)
+            print(json.dumps(results[-1]))
+            continue
         feats_sh = jax.device_put(
             jnp.asarray(shard_features(ds.features, n_dev)),
             NamedSharding(mesh, P("data", None)))
@@ -116,6 +162,7 @@ def main():
 
     if args.out:
         payload = {
+            "pipeline": args.pipeline,
             "workload": {"nodes": args.nodes, "edges": args.edges,
                          "feat_dim": args.feat_dim, "hidden": args.hidden,
                          "b_loc": args.b_loc, "fanout": args.fanout,
