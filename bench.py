@@ -131,7 +131,9 @@ def _setup(ds, pad, dtype, batch, steps, hidden, agg="MEAN"):
     k1, k2 = jax.random.split(jax.random.PRNGKey(824))
     params = {"sage": init_graphsage(k1, mcfg),
               "clf": init_classifier(k2, hidden, ds.num_classes)}
-    feats = jnp.asarray(ds.features)
+    # feature table lives in the compute dtype: bf16 halves the refresh
+    # gather bytes (f32 accumulation in ops/aggregate keeps the mean exact)
+    feats = jnp.asarray(ds.features, dtype=jnp.dtype(dtype))
     neighbors = jnp.asarray(pad.neighbors)
     degrees = jnp.asarray(pad.degrees)
     rng = np.random.RandomState(0)

@@ -42,11 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HOCON experiment file (reference-compatible)")
     # framework flags
     p.add_argument("--pipeline", type=str, default="compact",
-                   choices=["compact", "cached"],
+                   choices=["compact", "cached", "dist"],
                    help="compact = per-step reference-parity path (default);"
                         " cached = leaf-cached scanned-epoch path, the "
                         "single-chip throughput mode (BASELINE.md; not "
-                        "available for LSTM aggregation)")
+                        "available for LSTM aggregation); dist = "
+                        "edge-partitioned halo pipeline over ALL local "
+                        "devices (train/dist_trainer.py)")
     p.add_argument("--table_cap", type=int, default=None,
                    help="cached pipeline: cap the padded adjacency width "
                         "(uniform subsample per epoch); None = full degree")
@@ -129,7 +131,24 @@ def main(argv=None) -> int:
         except Exception as e:  # keep training if checkpointing fails
             print(f"checkpoint failed: {e}")
 
-    if args.pipeline == "cached":
+    if args.pipeline == "dist":
+        import jax
+        from graphsage_tpu.train.dist_trainer import (
+            DistTrainConfig,
+            DistTrainer,
+        )
+        n_dev = len(jax.devices())
+        dcfg = DistTrainConfig(
+            learn_method=args.learn_method, unsup_loss=args.unsup_loss,
+            b_loc=max(1, args.b_sz // n_dev), epochs=args.epochs,
+            lr=args.lr, fanout=args.fanout, seed=args.seed,
+            clf_epochs=args.clf_epochs, verbose=not args.quiet)
+        trainer = DistTrainer(ds, mcfg, dcfg)
+        if args.resume:
+            print("NOTE: --resume is not supported on the dist pipeline; "
+                  "ignoring")
+            args.resume = None
+    elif args.pipeline == "cached":
         from graphsage_tpu.train import CachedTrainer
         trainer = CachedTrainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn,
                                 table_cap=args.table_cap,

@@ -42,16 +42,22 @@ def sum_aggregate(embed: jax.Array, idx: jax.Array, mask: jax.Array,
     mask:  [U, S] weights; 0 for padding.  Returns [U, D].
     """
     gathered = gather_rows(embed, idx)            # [U, S, D]
-    return jnp.einsum("usd,us->ud", gathered, mask.astype(embed.dtype))
+    # f32 accumulation so a bf16 feature/embedding table (half the gather
+    # bytes — the refresh cost at 1M-node scale) loses nothing in the sum
+    total = jnp.einsum("usd,us->ud", gathered, mask.astype(embed.dtype),
+                       preferred_element_type=jnp.float32)
+    return total.astype(embed.dtype)
 
 
 def mean_aggregate(embed: jax.Array, idx: jax.Array, mask: jax.Array,
                    ) -> jax.Array:
     """Masked-mean (reference MEAN aggregator, src/models.py:311-314)."""
     mask = mask.astype(embed.dtype)
-    total = sum_aggregate(embed, idx, mask)
-    count = jnp.sum(mask, axis=1, keepdims=True)
-    return total / jnp.maximum(count, 1.0)
+    gathered = gather_rows(embed, idx)            # [U, S, D]
+    total = jnp.einsum("usd,us->ud", gathered, mask,
+                       preferred_element_type=jnp.float32)
+    count = jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True)
+    return (total / jnp.maximum(count, 1.0)).astype(embed.dtype)
 
 
 def max_aggregate(embed: jax.Array, idx: jax.Array, mask: jax.Array,

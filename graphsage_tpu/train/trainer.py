@@ -119,7 +119,12 @@ class Trainer:
             }
 
         self.params = _init(key)
-        self.feats = jnp.asarray(dataset.features)
+        # hold the (constant) feature table in the compute dtype: in bf16
+        # mode every downstream gather — the epoch cache refresh above all —
+        # moves half the bytes, and aggregation sums accumulate in f32
+        # (ops/aggregate.py) so the mean loses nothing
+        self.feats = jnp.asarray(dataset.features,
+                                 dtype=jnp.dtype(model_cfg.compute_dtype))
         self.labels_np = np.asarray(dataset.labels)
         self.rng = np.random.RandomState(train_cfg.seed)
         self.pair_sampler = PairSampler(dataset.graph, dataset.train_nodes)

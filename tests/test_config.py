@@ -85,3 +85,30 @@ def test_cli_main_end_to_end(tmp_path):
     import os
     cks = os.listdir(tmp_path / "ck")
     assert any(c.startswith("model_best_") for c in cks), cks
+
+
+def test_cli_dist_pipeline(capsys):
+    """--pipeline dist drives the edge-partitioned halo trainer over the
+    virtual 8-device mesh from the public CLI."""
+    from graphsage_tpu.cli import main
+
+    rc = main(["--dataSet", "powerlaw:300:1500", "--pipeline", "dist",
+               "--epochs", "2", "--b_sz", "64", "--hidden", "16",
+               "--fanout", "4", "--seed", "5", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Best validation F1:" in out
+    f1 = float(out.rsplit("Best validation F1:", 1)[1].strip())
+    assert 0.0 <= f1 <= 1.0
+
+
+def test_cli_cached_pipeline(capsys):
+    """--pipeline cached end-to-end (scanned-epoch trainer) from the CLI."""
+    from graphsage_tpu.cli import main
+
+    rc = main(["--dataSet", "powerlaw:200:800", "--pipeline", "cached",
+               "--epochs", "2", "--b_sz", "32", "--hidden", "16",
+               "--fanout", "4", "--seed", "3", "--quiet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Best validation F1:" in out
