@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from graphsage_tpu.losses import supervised_nll
+from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
 from graphsage_tpu.models import GraphSageConfig, classifier_apply
 from graphsage_tpu.models.layers import sage_layer_apply
 from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
@@ -94,7 +94,102 @@ def build_epoch_stack(train_nodes: np.ndarray, labels: np.ndarray,
     return batches, labs, row_masks
 
 
+def build_unsup_epoch_stack(pair_sampler, train_nodes: np.ndarray,
+                            labels: np.ndarray, n_dev: int, b_sz: int,
+                            num_neg: int, rng: np.random.RandomState):
+    """Shuffle + pack one unsup/plus_unsup epoch: per step and device,
+    extend the b_loc-node chunk with walk-positive / BFS-negative pair
+    endpoints (reference src/models.py:135-148) and pad the extended
+    batches to one common width.
+
+    Returns (batches [T, n_dev, U], labels [T, n_dev, U],
+    row_masks [T, n_dev, U], pair_stack {field: [T, n_dev, ...]}).
+    The tail chunk smaller than one device grid is dropped (DistTrainer's
+    epoch policy).  Pair index fields point at rows of each device's own
+    extended-batch embedding matrix."""
+    from graphsage_tpu.sampler.compact import _bucket
+
+    assert b_sz % n_dev == 0, (b_sz, n_dev)
+    b_loc = b_sz // n_dev
+    order = rng.permutation(train_nodes).astype(np.int64)
+    t_steps = max(1, len(order) // b_sz)
+    pbs = [[pair_sampler.sample_batch(
+        order[t * b_sz + d * b_loc:t * b_sz + (d + 1) * b_loc],
+        num_neg, rng) for d in range(n_dev)] for t in range(t_steps)]
+    u_max = _bucket(max(pb.unique_nodes.shape[0]
+                        for row in pbs for pb in row))
+    batches = np.zeros((t_steps, n_dev, u_max), np.int32)
+    labs = np.zeros((t_steps, n_dev, u_max), np.int32)
+    row_masks = np.zeros((t_steps, n_dev, u_max), np.float32)
+    fields = ("pos_p", "pos_q", "pos_mask", "neg_p", "neg_q", "neg_mask",
+              "node_valid", "target_rows")
+    stacked = {f: [] for f in fields}
+    for t in range(t_steps):
+        for d in range(n_dev):
+            pb = pbs[t][d]
+            u = pb.unique_nodes.shape[0]
+            batches[t, d, :u] = pb.unique_nodes
+            labs[t, d, :pb.num_unique] = labels[
+                pb.unique_nodes[:pb.num_unique]]
+            row_masks[t, d, :pb.num_unique] = 1.0
+    for f in fields:
+        stacked[f] = np.stack(
+            [np.stack([np.asarray(getattr(pbs[t][d], f))
+                       for d in range(n_dev)]) for t in range(t_steps)])
+    pair_stack = {f: jnp.asarray(v) for f, v in stacked.items()}
+    return (jnp.asarray(batches), jnp.asarray(labs),
+            jnp.asarray(row_masks), pair_stack)
+
+
 # ------------------------------------------------------------------- device
+def _local_refresh(key, feats, neighbors, degrees, fanout: int,
+                   is_max: bool, idx, n_dev: int):
+    """Per-epoch leaf-cache refresh over THIS device's row range
+    (work / P; same sampling semantics as refresh_leaf_cache)."""
+    rows_per = feats.shape[0] // n_dev
+    r0 = idx * rows_per
+    ids_local = r0 + jnp.arange(rows_per, dtype=jnp.int32)
+    samples, valid = _sample_one_hop(
+        jax.random.fold_in(key, idx), neighbors, degrees, ids_local,
+        fanout)
+    # self-loop samples drop out of the aggregation set (reference set
+    # dance, src/models.py:285,297-298 — same as refresh_leaf_cache)
+    valid = valid & (samples != ids_local[:, None])
+    mask = valid.astype(feats.dtype)
+    cache_local = (max_aggregate if is_max else mean_aggregate)(
+        feats, samples, mask)                      # [rows_per, D]
+    cnt_local = jnp.sum(mask, axis=1)
+    x_local = jax.lax.dynamic_slice_in_dim(feats, r0, rows_per, axis=0)
+    return x_local, cache_local, cnt_local
+
+
+def _sharded_forward(pp, mcfg: GraphSageConfig, x_local, cache_local,
+                     cnt_local, neighbors, degrees, batch, k_dev,
+                     fanout: int, axis: str, is_max: bool):
+    """Encode this device's batch shard: local layer-1 table GEMM,
+    all_gather of the [N, H] activation table (backward transposes to a
+    psum_scatter — the P-way-split d(h1) scatter), then device-local
+    upper layers over fresh per-device frontiers."""
+    xl = cast_compute(x_local, mcfg)
+    cl = cast_compute(cache_local, mcfg)
+    w1 = pp["sage"]["layers"][0]
+    if mcfg.gcn:
+        mixed = _gcn_mix(xl, cl, cnt_local, is_max)
+        h1_local = sage_layer_apply(w1, mixed, mixed, gcn=True)
+    else:
+        h1_local = sage_layer_apply(w1, xl, cl, gcn=False)
+    h1_full = jax.lax.all_gather(h1_local, axis, axis=0, tiled=True)
+    if mcfg.num_layers == 1:
+        ids, frontiers = jnp.asarray(batch, jnp.int32), []
+    else:
+        ids, frontiers = sample_frontiers_dense(
+            k_dev, neighbors, degrees, batch,
+            num_layers=mcfg.num_layers - 1, fanout=fanout, gcn=mcfg.gcn)
+    h = jnp.take(h1_full, ids, axis=0)
+    return _upper_layers(pp["sage"], h, frontiers, fanout, is_max,
+                         mcfg.gcn)
+
+
 def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
                            fanout: int = 10, lr: float = 0.7,
                            clip: float = 5.0, axis: str = "data"):
@@ -116,49 +211,16 @@ def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
         batches = batches[:, 0]                    # [T, b_loc] local shard
         labels, row_masks = labels[:, 0], row_masks[:, 0]
         idx = jax.lax.axis_index(axis)
-        rows_per = feats.shape[0] // n_dev
-        r0 = idx * rows_per
         k_cache, k_steps = jax.random.split(key)
-
-        # per-epoch leaf-cache refresh over the LOCAL row range (work / P)
-        ids_local = r0 + jnp.arange(rows_per, dtype=jnp.int32)
-        samples, valid = _sample_one_hop(
-            jax.random.fold_in(k_cache, idx), neighbors, degrees,
-            ids_local, fanout)
-        # self-loop samples drop out of the aggregation set (reference set
-        # dance, src/models.py:285,297-298 — same as refresh_leaf_cache)
-        valid = valid & (samples != ids_local[:, None])
-        mask = valid.astype(feats.dtype)
-        cache_local = (max_aggregate if is_max else mean_aggregate)(
-            feats, samples, mask)                  # [rows_per, D]
-        cnt_local = jnp.sum(mask, axis=1)
-        x_local = jax.lax.dynamic_slice_in_dim(feats, r0, rows_per, axis=0)
+        x_local, cache_local, cnt_local = _local_refresh(
+            k_cache, feats, neighbors, degrees, fanout, is_max, idx, n_dev)
 
         def step(p, batch, lab, rmask, k_dev):
             def loss_fn(pp):
                 pp = cast_compute(pp, mcfg)
-                xl = cast_compute(x_local, mcfg)
-                cl = cast_compute(cache_local, mcfg)
-                w1 = pp["sage"]["layers"][0]
-                if mcfg.gcn:
-                    mixed = _gcn_mix(xl, cl, cnt_local, is_max)
-                    h1_local = sage_layer_apply(w1, mixed, mixed, gcn=True)
-                else:
-                    h1_local = sage_layer_apply(w1, xl, cl, gcn=False)
-                # [N, H] activation table; the backward of this collective
-                # is a psum_scatter, splitting the d(h1) scatter-add P ways
-                h1_full = jax.lax.all_gather(h1_local, axis, axis=0,
-                                             tiled=True)
-                if mcfg.num_layers == 1:
-                    ids, frontiers = jnp.asarray(batch, jnp.int32), []
-                else:
-                    ids, frontiers = sample_frontiers_dense(
-                        k_dev, neighbors, degrees, batch,
-                        num_layers=mcfg.num_layers - 1, fanout=fanout,
-                        gcn=mcfg.gcn)
-                h = jnp.take(h1_full, ids, axis=0)
-                h = _upper_layers(pp["sage"], h, frontiers, fanout, is_max,
-                                  mcfg.gcn)
+                h = _sharded_forward(pp, mcfg, x_local, cache_local,
+                                     cnt_local, neighbors, degrees, batch,
+                                     k_dev, fanout, axis, is_max)
                 logp = classifier_apply(pp["clf"], h)
                 # pmean INSIDE the differentiated function so autodiff
                 # inserts the gradient collective (train/distributed.py's
@@ -187,6 +249,80 @@ def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
         local_epoch, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(None, axis, None),
                   P(None, axis, None), P(None, axis, None), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def make_cached_dist_unsup_epoch(mcfg: GraphSageConfig, mesh: Mesh,
+                                 unsup_loss: str = "normal",
+                                 fanout: int = 10, lr: float = 0.7,
+                                 clip: float = 5.0,
+                                 learn_method: str = "unsup",
+                                 q: float = 10.0, margin: float = 3.0,
+                                 axis: str = "data"):
+    """Sharded unsup / plus_unsup cached-epoch program (reference dispatch
+    src/utils.py:159-181): each device encodes its own EXTENDED batch
+    (pair-endpoint union, src/models.py:135-148), computes the pair loss
+    (+ NLL over the extended rows for plus_unsup), and the losses pmean
+    over the mesh inside the differentiated function.
+
+    epoch(params, feats, neighbors, degrees, batches [T, n_dev, U],
+    labels [T, n_dev, U], row_masks [T, n_dev, U],
+    pair_stack {field: [T, n_dev, ...]}, key) -> (params, losses [T]).
+    Build the stacks with build_unsup_epoch_stack.
+    """
+    n_dev = mesh.shape[axis]
+    is_max = mcfg.agg_func == "MAX"
+    assert mcfg.agg_func in ("MEAN", "MAX"), \
+        "leaf cache needs a constant-table aggregator (LSTM: compact path)"
+
+    def local_epoch(params, feats, neighbors, degrees, batches, labels,
+                    row_masks, pair_stack, key):
+        batches = batches[:, 0]                    # [T, U] local shard
+        labels, row_masks = labels[:, 0], row_masks[:, 0]
+        pair_stack = {k: v[:, 0] for k, v in pair_stack.items()}
+        idx = jax.lax.axis_index(axis)
+        k_cache, k_steps = jax.random.split(key)
+        x_local, cache_local, cnt_local = _local_refresh(
+            k_cache, feats, neighbors, degrees, fanout, is_max, idx, n_dev)
+
+        def step(p, batch, lab, rmask, pairs, k_dev):
+            def loss_fn(pp):
+                pp = cast_compute(pp, mcfg)
+                h = _sharded_forward(pp, mcfg, x_local, cache_local,
+                                     cnt_local, neighbors, degrees, batch,
+                                     k_dev, fanout, axis, is_max)
+                loss = unsup_loss_from_pairbatch(h, pairs, unsup_loss,
+                                                 q=q, margin=margin)
+                if learn_method == "plus_unsup":
+                    logp = classifier_apply(pp["clf"], h)
+                    loss = loss + supervised_nll(logp, lab, rmask)
+                return jax.lax.pmean(loss, axis)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            grads = {k: clip_by_global_norm(g, clip)
+                     for k, g in grads.items()}
+            return sgd_update(p, grads, lr), loss
+
+        def body(carry, xs):
+            p, k = carry
+            batch, lab, rmask, pairs = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, batch, lab, rmask, pairs,
+                           jax.random.fold_in(sub, idx))
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(
+            body, (params, k_steps), (batches, labels, row_masks,
+                                      pair_stack))
+        return params, losses
+
+    sharded = shard_map(
+        local_epoch, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, axis, None),
+                  P(None, axis, None), P(None, axis, None),
+                  P(None, axis), P()),
         out_specs=(P(), P()),
     )
     return jax.jit(sharded)

@@ -106,6 +106,79 @@ def test_dist_epoch_learns_with_real_fanout():
                for l in jax.tree_util.tree_leaves(p))
 
 
+@pytest.mark.parametrize("learn_method,unsup_loss",
+                         [("unsup", "normal"), ("unsup", "margin"),
+                          ("plus_unsup", "normal")])
+def test_dist_unsup_epoch_loss_parity_and_learns(learn_method, unsup_loss):
+    """Sharded unsup/plus_unsup cached epoch: the first scanned step's
+    loss must equal the mean of per-device losses replayed single-device
+    (take-all fanout makes the forward RNG-independent), and training
+    reduces the loss across epochs."""
+    from graphsage_tpu.losses import unsup_loss_from_pairbatch
+    from graphsage_tpu.losses import supervised_nll
+    from graphsage_tpu.sampler import PairSampler
+    from graphsage_tpu.train.cached import (
+        cached_forward,
+        refresh_leaf_cache,
+    )
+    from graphsage_tpu.train.cached_dist import (
+        build_unsup_epoch_stack,
+        make_cached_dist_unsup_epoch,
+    )
+
+    ds, mesh, mcfg, params, feats, neighbors, degrees = _setup(seed=7)
+    fanout = neighbors.shape[1]
+    sampler = PairSampler(ds.graph, ds.train_nodes)
+    rng = np.random.RandomState(2)
+    batches, labels, row_masks, pair_stack = build_unsup_epoch_stack(
+        sampler, ds.train_nodes, ds.labels, N_DEV, N_DEV * 4,
+        num_neg=10, rng=rng)
+    epoch_fn = make_cached_dist_unsup_epoch(
+        mcfg, mesh, unsup_loss=unsup_loss, fanout=fanout,
+        learn_method=learn_method)
+    key = jax.random.PRNGKey(13)
+    p_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    feats_j, neigh_j, deg_j = (jnp.asarray(feats), jnp.asarray(neighbors),
+                               jnp.asarray(degrees))
+    _, losses = epoch_fn(p_sh, feats_j, neigh_j, deg_j, batches, labels,
+                         row_masks, pair_stack, key)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), losses
+
+    # replay step 0 per device on ONE device: same cache under take-all
+    cf, cc = refresh_leaf_cache(jax.random.PRNGKey(0), feats_j, neigh_j,
+                                deg_j, fanout, agg=mcfg.agg_func)
+    total = 0.0
+    for d in range(N_DEV):
+        embs = cached_forward(params, mcfg, feats_j, cf, cc, neigh_j,
+                              deg_j, batches[0, d], jax.random.PRNGKey(1),
+                              fanout)
+        pairs_d = {k: v[0, d] for k, v in pair_stack.items()}
+        loss_d = unsup_loss_from_pairbatch(embs, pairs_d, unsup_loss,
+                                           q=10.0, margin=3.0)
+        if learn_method == "plus_unsup":
+            from graphsage_tpu.models import classifier_apply
+            logp = classifier_apply(params["clf"], embs)
+            loss_d = loss_d + supervised_nll(logp, labels[0, d],
+                                             row_masks[0, d])
+        total += float(loss_d)
+    np.testing.assert_allclose(losses[0], total / N_DEV, rtol=2e-5,
+                               atol=2e-5)
+
+    # learning: run 3 more epochs, mean loss falls
+    p = p_sh
+    means = [float(np.mean(losses))]
+    for ep in range(3):
+        b2, l2, m2, ps2 = build_unsup_epoch_stack(
+            sampler, ds.train_nodes, ds.labels, N_DEV, N_DEV * 4,
+            num_neg=10, rng=rng)
+        key, sub = jax.random.split(key)
+        p, losses = epoch_fn(p, feats_j, neigh_j, deg_j, b2, l2, m2, ps2,
+                             sub)
+        means.append(float(np.mean(np.asarray(losses))))
+    assert means[-1] < means[0], means
+
+
 def test_dist_epoch_masks_padded_tail():
     """The wrap-padded tail rows (row_mask 0) must not contribute: an
     epoch over [real | junk-label-padded] rows equals one over
