@@ -253,6 +253,16 @@ def main() -> None:
               "sampling exactly uniform either way)")))
     print_row(rows[-1])
 
+    from graphsage_tpu.data import load_pubmed
+    pubmed = load_pubmed()
+    pm_pad = pubmed.graph.to_padded().subsample(32,
+                                                np.random.RandomState(99))
+    rows.append(run_row(
+        "pubmed_b8192_cached_bfloat16", pubmed, pm_pad, "cached", 8192,
+        "bfloat16", steps=20,
+        note="real Pubmed citation graph (19717 nodes / 500 feats)"))
+    print_row(rows[-1])
+
     pl = synthetic_power_law(100_000, 1_000_000, num_feats=602,
                              num_classes=16, seed=0)
     pl_pad = pl.graph.to_padded_sampled(32, np.random.RandomState(99))
