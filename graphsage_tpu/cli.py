@@ -42,13 +42,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="HOCON experiment file (reference-compatible)")
     # framework flags
     p.add_argument("--pipeline", type=str, default="compact",
-                   choices=["compact", "cached", "dist"],
+                   choices=["compact", "cached", "cached_dist", "dist"],
                    help="compact = per-step reference-parity path (default);"
                         " cached = leaf-cached scanned-epoch path, the "
                         "single-chip throughput mode (BASELINE.md; not "
-                        "available for LSTM aggregation); dist = "
-                        "edge-partitioned halo pipeline over ALL local "
-                        "devices (train/dist_trainer.py)")
+                        "available for LSTM aggregation); cached_dist = "
+                        "the same pipeline sharded over ALL local devices "
+                        "(row-sharded layer-1 table); dist = "
+                        "edge-partitioned halo pipeline over the devices "
+                        "(train/dist_trainer.py)")
     p.add_argument("--table_cap", type=int, default=None,
                    help="cached pipeline: cap the padded adjacency width "
                         "(uniform subsample per epoch); None = full degree")
@@ -148,11 +150,13 @@ def main(argv=None) -> int:
             print("NOTE: --resume is not supported on the dist pipeline; "
                   "ignoring")
             args.resume = None
-    elif args.pipeline == "cached":
-        from graphsage_tpu.train import CachedTrainer
-        trainer = CachedTrainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn,
-                                table_cap=args.table_cap,
-                                extend_batches=not args.no_extend)
+    elif args.pipeline in ("cached", "cached_dist"):
+        from graphsage_tpu.train import CachedDistTrainer, CachedTrainer
+        cls = (CachedDistTrainer if args.pipeline == "cached_dist"
+               else CachedTrainer)
+        trainer = cls(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn,
+                      table_cap=args.table_cap,
+                      extend_batches=not args.no_extend)
     else:
         trainer = Trainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn)
     trainer.max_vali_f1 = args.max_vali_f1
