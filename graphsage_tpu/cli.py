@@ -45,8 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["compact", "cached", "cached_dist", "dist"],
                    help="compact = per-step reference-parity path (default);"
                         " cached = leaf-cached scanned-epoch path, the "
-                        "single-chip throughput mode (BASELINE.md; not "
-                        "available for LSTM aggregation); cached_dist = "
+                        "single-chip throughput mode (BASELINE.md; LSTM "
+                        "needs --lstm_hybrid); cached_dist = "
                         "the same pipeline sharded over ALL local devices "
                         "(row-sharded layer-1 table); dist = "
                         "edge-partitioned halo pipeline over the devices "
@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table_cap", type=int, default=None,
                    help="cached pipeline: cap the padded adjacency width "
                         "(uniform subsample per epoch); None = full degree")
+    p.add_argument("--lstm_hybrid", action="store_true",
+                   help="cached pipelines + --agg_func LSTM: opt into the "
+                        "hybrid variant (MEAN leaf cache at layer 1, live "
+                        "LSTM cells at layers 2..L — train/cached.py)")
     p.add_argument("--no_extend", action="store_true",
                    help="cached pipeline: plain fixed-size supervised "
                         "batches instead of the reference's pair-extended "
@@ -156,7 +160,8 @@ def main(argv=None) -> int:
                else CachedTrainer)
         trainer = cls(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn,
                       table_cap=args.table_cap,
-                      extend_batches=not args.no_extend)
+                      extend_batches=not args.no_extend,
+                      lstm_hybrid=args.lstm_hybrid)
     else:
         trainer = Trainer(ds, mcfg, tcfg, checkpoint_fn=checkpoint_fn)
     trainer.max_vali_f1 = args.max_vali_f1

@@ -57,10 +57,20 @@ def lstm_aggregate(params: dict, embed: jax.Array, idx: jax.Array,
 
     embed: [M, D]; idx: [U, S] int32; mask: [U, S].  Returns [U, D].
     """
-    gathered = gather_rows(embed, idx)                     # [U, S, D]
+    return lstm_scan(params, gather_rows(embed, idx), mask)
+
+
+def lstm_scan(params: dict, gathered: jax.Array, mask: jax.Array) -> jax.Array:
+    """LSTM over an already-materialized slot sequence [U, S, D] with a
+    [U, S] validity mask (masked slots pass state through).  Returns [U, D].
+    Used directly by the cached pipeline's hybrid mode, whose upper-layer
+    sequences are tree-contiguous reshapes (no gather needed)."""
     u, s, d = gathered.shape
-    h0 = jnp.zeros((u, d), dtype=embed.dtype)
-    c0 = jnp.zeros((u, d), dtype=embed.dtype)
+    # derive the zero state from the input (not jnp.zeros) so that under
+    # shard_map it inherits the sequence's varying manual axes — a literal
+    # zeros carry is unvarying and scan rejects the carry-type mismatch
+    h0 = gathered[:, 0] * 0
+    c0 = gathered[:, 0] * 0
 
     def step(carry, inp):
         h, c = carry

@@ -35,9 +35,21 @@ per-step pipeline in tests/test_cached.py and BASELINE.md records full
 
 Aggregators: MEAN (the count-weighted gcn mix-in keeps gcn mode exact) and
 MAX (elementwise max over the epoch-fixed leaf sample is itself a constant
-table; gcn mode mixes the self row in with one more elementwise max).  LSTM
-cannot be cached (order-dependent with parameters upstream of the leaf
-gather) — it stays on the dense pipeline.
+table; gcn mode mixes the self row in with one more elementwise max).
+
+LSTM runs as the **cached-LSTM hybrid** (``agg_func="LSTM"``): the exact
+LSTM aggregator cannot ride the leaf cache (its cell parameters sit
+upstream of the leaf gather, so a per-epoch cache would stale their
+gradients), so the hybrid aggregates the LEAF level with the parameter-free
+MEAN cache and runs the live LSTM cell at every upper level, where the
+tree-contiguous frontiers are already materialized [U, K+1, H] sequences —
+no gathers, no scatters, full per-step gradients for every LSTM cell that
+actually runs.  This is a deliberate model variant (layer-1 MEAN +
+layers-2..L LSTM), not an approximation of the dense LSTM model; the dense
+pipeline keeps the all-LSTM reference-shaped model.  Slot order inside a
+sequence is the sampler's uniform-random pick order (the GraphSAGE paper's
+random permutation).  The layer-0 LSTM cell parameters created by
+init_graphsage are untouched by the hybrid (zero gradient).
 """
 
 from __future__ import annotations
@@ -48,6 +60,7 @@ import jax.numpy as jnp
 from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
 from graphsage_tpu.models import GraphSageConfig, classifier_apply
 from graphsage_tpu.models.layers import sage_layer_apply
+from graphsage_tpu.models.lstm_agg import lstm_scan
 from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
 from graphsage_tpu.sampler.device import _sample_one_hop, sample_frontiers_dense
 from graphsage_tpu.train.dense import cast_compute
@@ -61,7 +74,8 @@ def refresh_leaf_cache(key: jax.Array, feats: jax.Array, neighbors: jax.Array,
     """Per-epoch cache refresh, fully on device (~29 ms at 100k nodes).
 
     Returns (agg_feats [N, D], cache_count [N]): the masked mean (or
-    elementwise max, ``agg="MAX"``) of raw features over a fresh uniform
+    elementwise max, ``agg="MAX"``; any other value — incl. the LSTM
+    hybrid — caches the mean) of raw features over a fresh uniform
     ``fanout``-subset per node, and the number of valid slots (needed for
     the exact gcn self mix-in / emptiness test).  jit this once and call at
     every epoch boundary.
@@ -132,8 +146,9 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, cache_feats,
     ``mcfg.agg_func``, from :func:`refresh_leaf_cache`); everything else
     matches dense_forward's contract.
     """
-    assert mcfg.agg_func in ("MEAN", "MAX"), \
-        "leaf cache needs a constant-table aggregator (LSTM: dense path)"
+    assert mcfg.agg_func in ("MEAN", "MAX", "LSTM"), mcfg.agg_func
+    # LSTM = the cached-LSTM hybrid (module docstring): leaf level from the
+    # MEAN cache, live LSTM cells at the upper levels.
     is_max = mcfg.agg_func == "MAX"
     params = cast_compute(params, mcfg)
     feats = cast_compute(feats, mcfg)
@@ -190,26 +205,32 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, cache_feats,
             agg_f = jnp.take(cache_feats, ids, axis=0)
             h = sage_layer_apply(w1, self_f, agg_f, gcn=False)
 
-    return _upper_layers(sage, h, frontiers, fanout, is_max, mcfg.gcn)
+    return _upper_layers(sage, h, frontiers, fanout, mcfg.agg_func,
+                         mcfg.gcn)
 
 
-def _upper_layers(sage, h, frontiers, fanout: int, is_max: bool, gcn: bool):
+def _upper_layers(sage, h, frontiers, fanout: int, agg_func: str, gcn: bool):
     """Layers 2..L: the dense tree stores the children of parent u at rows
     [u·(K+1), (u+1)·(K+1)) with slot 0 = self, so aggregation is a pure
     reshape + masked reduce — no index ops, hence no gather/scatter
-    anywhere above layer 1 (asserted in tests/test_cached.py).  Shared by
-    the single-device cached forward and the sharded epoch
-    (train/cached_dist.py)."""
+    anywhere above layer 1 (asserted in tests/test_cached.py).  LSTM
+    (hybrid mode) scans the K+1 slot sequence live with the layer's cell
+    parameters — still no index ops, and the mask skips the self slot
+    exactly as the dense pipeline's lstm_aggregate does (slot-0 mask 0
+    unless gcn).  Shared by the single-device cached forward and the
+    sharded epoch (train/cached_dist.py)."""
     k = fanout
     for li, frontier in enumerate(frontiers, start=1):
         hdim = h.shape[1]
         hr = h.reshape(-1, k + 1, hdim)
         mask = frontier.mask.astype(h.dtype)              # [U, K+1]
-        if is_max:
+        if agg_func == "MAX":
             neg = jnp.asarray(-jnp.inf, h.dtype)
             agg = jnp.max(jnp.where(mask[..., None] > 0, hr, neg), axis=1)
             any_valid = jnp.any(mask > 0, axis=1, keepdims=True)
             agg = jnp.where(any_valid, agg, jnp.zeros_like(agg))
+        elif agg_func == "LSTM":
+            agg = lstm_scan(sage["agg"][li], hr, mask)
         else:
             cnt = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
             agg = jnp.einsum("ukh,uk->uh", hr, mask) / cnt

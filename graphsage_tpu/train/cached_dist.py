@@ -186,7 +186,7 @@ def _sharded_forward(pp, mcfg: GraphSageConfig, x_local, cache_local,
             k_dev, neighbors, degrees, batch,
             num_layers=mcfg.num_layers - 1, fanout=fanout, gcn=mcfg.gcn)
     h = jnp.take(h1_full, ids, axis=0)
-    return _upper_layers(pp["sage"], h, frontiers, fanout, is_max,
+    return _upper_layers(pp["sage"], h, frontiers, fanout, mcfg.agg_func,
                          mcfg.gcn)
 
 
@@ -203,8 +203,9 @@ def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
     """
     n_dev = mesh.shape[axis]
     is_max = mcfg.agg_func == "MAX"
-    assert mcfg.agg_func in ("MEAN", "MAX"), \
-        "leaf cache needs a constant-table aggregator (LSTM: compact path)"
+    # LSTM = cached-LSTM hybrid (train/cached.py docstring): MEAN leaf
+    # cache (is_max False), live LSTM cells in _upper_layers.
+    assert mcfg.agg_func in ("MEAN", "MAX", "LSTM"), mcfg.agg_func
 
     def local_epoch(params, feats, neighbors, degrees, batches, labels,
                     row_masks, key):
@@ -274,8 +275,9 @@ def make_cached_dist_unsup_epoch(mcfg: GraphSageConfig, mesh: Mesh,
     """
     n_dev = mesh.shape[axis]
     is_max = mcfg.agg_func == "MAX"
-    assert mcfg.agg_func in ("MEAN", "MAX"), \
-        "leaf cache needs a constant-table aggregator (LSTM: compact path)"
+    # LSTM = cached-LSTM hybrid (train/cached.py docstring): MEAN leaf
+    # cache (is_max False), live LSTM cells in _upper_layers.
+    assert mcfg.agg_func in ("MEAN", "MAX", "LSTM"), mcfg.agg_func
 
     def local_epoch(params, feats, neighbors, degrees, batches, labels,
                     row_masks, pair_stack, key):

@@ -46,7 +46,8 @@ class CachedDistTrainer(CachedTrainer):
     def __init__(self, dataset: Dataset, model_cfg: GraphSageConfig,
                  train_cfg: TrainConfig, checkpoint_fn=None,
                  table_cap: int | None = None,
-                 extend_batches: bool = True, mesh: Mesh | None = None):
+                 extend_batches: bool = True, mesh: Mesh | None = None,
+                 lstm_hybrid: bool = False):
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
         self.mesh = mesh
@@ -58,7 +59,8 @@ class CachedDistTrainer(CachedTrainer):
                 b_sz=-(-train_cfg.b_sz // self.n_dev) * self.n_dev)
         super().__init__(dataset, model_cfg, train_cfg,
                          checkpoint_fn=checkpoint_fn, table_cap=table_cap,
-                         extend_batches=extend_batches)
+                         extend_batches=extend_batches,
+                         lstm_hybrid=lstm_hybrid)
         # re-pad the node tables to a multiple of n_dev rows (padded rows:
         # degree 0 — never sampled, zero cache/h1 rows) and keep the
         # feature table consistent with them

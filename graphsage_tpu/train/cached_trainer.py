@@ -18,8 +18,14 @@ path):
   src/models.py:277-289); depths < L sample fresh per step on device.
   BASELINE.md records 50-epoch Cora F1 parity for this trade.
 
-LSTM aggregation cannot ride the leaf cache (order-dependent with
-parameters upstream of the leaf gather) — use the compact Trainer.
+The exact (all-layer) LSTM aggregator cannot ride the leaf cache — its
+cell parameters sit upstream of the leaf gather, so a per-epoch cache
+would stale their gradients.  ``agg_func="LSTM"`` therefore requires the
+explicit ``lstm_hybrid=True`` opt-in (CLI ``--lstm_hybrid``), which trains
+the documented hybrid variant: MEAN leaf cache at layer 1, live LSTM
+cells at layers 2..L (train/cached.py module docstring).  Without the
+opt-in, use the compact or dense pipelines for the reference-shaped
+all-LSTM model.
 """
 
 from __future__ import annotations
@@ -87,11 +93,15 @@ class CachedTrainer(Trainer):
     def __init__(self, dataset: Dataset, model_cfg: GraphSageConfig,
                  train_cfg: TrainConfig, checkpoint_fn=None,
                  table_cap: int | None = None,
-                 extend_batches: bool = True):
-        if model_cfg.agg_func == "LSTM":
+                 extend_batches: bool = True,
+                 lstm_hybrid: bool = False):
+        if model_cfg.agg_func == "LSTM" and not lstm_hybrid:
             raise ValueError(
-                "LSTM aggregation is order-dependent and cannot use the "
-                "leaf cache; use the compact Trainer (--pipeline compact)")
+                "the exact LSTM aggregator cannot use the leaf cache "
+                "(cell parameters upstream of the cached gather); pass "
+                "lstm_hybrid=True (--lstm_hybrid) for the MEAN-leaf + "
+                "live-LSTM hybrid variant, or use --pipeline compact/"
+                "dense for the all-LSTM model")
         super().__init__(dataset, model_cfg, train_cfg, checkpoint_fn)
         self.extend_batches = extend_batches
         rng = np.random.RandomState(train_cfg.seed)

@@ -160,3 +160,108 @@ def test_cached_unsup_step():
     d0 = np.abs(np.asarray(p2["sage"]["layers"][0]["weight"])
                 - np.asarray(params["sage"]["layers"][0]["weight"])).max()
     assert d0 > 0
+
+
+def test_cached_lstm_hybrid_matches_oracle_under_takeall():
+    """The cached-LSTM hybrid (MEAN leaf cache at layer 1, live LSTM at
+    layer 2 — train/cached.py docstring) against an explicit per-node
+    oracle: take-all fanout makes every sampling op deterministic, so
+    h1(v) = relu(W1·[x_v ‖ mean(x_neigh)]) and the layer-2 output is
+    lstm_scan over the padded [self, n1..nK] sequence of h1 rows with the
+    self slot masked (non-gcn)."""
+    rng = np.random.RandomState(2)
+    n, d, h = 40, 8, 8  # out_size == input so one LSTM cell size fits both
+    g = _small_graph(rng, n)
+    feats = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    fanout = int(g.degrees.max()) + 1
+    pad = g.to_padded()
+    neighbors = jnp.asarray(pad.neighbors)
+    degrees = jnp.asarray(pad.degrees)
+
+    mcfg = GraphSageConfig(num_layers=2, input_size=d, out_size=h,
+                           agg_func="LSTM")
+    params = {"sage": init_graphsage(jax.random.PRNGKey(3), mcfg)}
+    batch = rng.choice(n, 7, replace=False).astype(np.int32)
+
+    cache_feats, cnt = refresh_leaf_cache(jax.random.PRNGKey(6), feats,
+                                          neighbors, degrees, fanout,
+                                          agg="LSTM")
+    out = cached_forward(params, mcfg, feats, cache_feats, cnt, neighbors,
+                         degrees, jnp.asarray(batch), jax.random.PRNGKey(7),
+                         fanout=fanout)
+
+    # oracle: layer 1 for every node (take-all mean over CSR neighbors)
+    from graphsage_tpu.models.layers import sage_layer_apply
+    from graphsage_tpu.models.lstm_agg import lstm_scan
+    feats_np = np.asarray(feats)
+    mean_np = np.zeros_like(feats_np)
+    for v in range(n):
+        nb = np.asarray(pad.neighbors[v][:pad.degrees[v]])
+        nb = nb[nb != v]
+        if len(nb):
+            mean_np[v] = feats_np[nb].mean(axis=0)
+    h1 = np.asarray(sage_layer_apply(params["sage"]["layers"][0],
+                                     jnp.asarray(feats_np),
+                                     jnp.asarray(mean_np), gcn=False))
+    # layer 2: padded [self, n1..nK] sequence per batch node, self masked
+    seqs = np.zeros((len(batch), fanout + 1, h), np.float32)
+    mask = np.zeros((len(batch), fanout + 1), np.float32)
+    for i, v in enumerate(batch):
+        seqs[i, 0] = h1[v]
+        nb = np.asarray(pad.neighbors[v][:pad.degrees[v]])
+        for s, u in enumerate(nb, start=1):
+            seqs[i, s] = h1[u]
+            mask[i, s] = float(u != v)
+    agg = lstm_scan(params["sage"]["agg"][1], jnp.asarray(seqs),
+                    jnp.asarray(mask))
+    expect = sage_layer_apply(params["sage"]["layers"][1],
+                              jnp.asarray(h1[batch]), agg, gcn=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cached_lstm_hybrid_epoch_learns():
+    """The hybrid trains through the scanned epoch driver: loss falls,
+    the layer-2 LSTM cell receives gradient, the (unused) layer-1 cell
+    does not."""
+    ds = synthetic_power_law(300, 1500, num_feats=16, num_classes=4, seed=4)
+    pad = ds.graph.to_padded()
+    mcfg = GraphSageConfig(num_layers=2, input_size=16, out_size=16,
+                           agg_func="LSTM")
+    key = jax.random.PRNGKey(0)
+    params = {"sage": init_graphsage(key, mcfg),
+              "clf": init_classifier(key, 16, 4)}
+    epoch_fn = jax.jit(make_cached_sup_epoch(mcfg, fanout=4, lr=0.3))
+    rng = np.random.RandomState(0)
+    batches = jnp.asarray(rng.choice(ds.train_nodes, (12, 32)).astype(np.int32))
+    labels = jnp.asarray(ds.labels)[batches]
+    params2, losses = epoch_fn(params, jnp.asarray(ds.features),
+                               jnp.asarray(pad.neighbors),
+                               jnp.asarray(pad.degrees), batches, labels,
+                               jax.random.PRNGKey(1))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    moved = np.abs(np.asarray(params2["sage"]["agg"][1]["w_ih"])
+                   - np.asarray(params["sage"]["agg"][1]["w_ih"])).max()
+    frozen = np.abs(np.asarray(params2["sage"]["agg"][0]["w_ih"])
+                    - np.asarray(params["sage"]["agg"][0]["w_ih"])).max()
+    assert moved > 0
+    assert frozen == 0
+
+
+def test_cached_trainer_lstm_requires_opt_in():
+    """CachedTrainer rejects agg_func=LSTM without the explicit
+    lstm_hybrid opt-in, and trains the hybrid protocol with it."""
+    from graphsage_tpu.train import CachedTrainer, TrainConfig
+    ds = synthetic_power_law(200, 1000, num_feats=12, num_classes=3, seed=6)
+    mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=12,
+                           agg_func="LSTM")
+    tcfg = TrainConfig(learn_method="sup", b_sz=32, epochs=1, seed=1,
+                       fanout=4, verbose=False)
+    with pytest.raises(ValueError, match="lstm_hybrid"):
+        CachedTrainer(ds, mcfg, tcfg)
+    tr = CachedTrainer(ds, mcfg, tcfg, lstm_hybrid=True)
+    tr.fit()
+    assert np.isfinite(tr.max_vali_f1)
+    assert tr.max_vali_f1 > 0

@@ -41,7 +41,7 @@ def _setup(num_nodes=203, num_feats=24, num_classes=4, seed=3,
 
 
 @pytest.mark.parametrize("agg,gcn", [("MEAN", False), ("MAX", False),
-                                     ("MEAN", True)])
+                                     ("MEAN", True), ("LSTM", False)])
 def test_dist_epoch_matches_single_device_under_takeall(agg, gcn):
     """With fanout >= table width every sampling op is take-all
     (RNG-independent), so the sharded epoch must reproduce the
