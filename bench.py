@@ -10,8 +10,9 @@ Workloads (BASELINE.json north star):
     dense  = per-step device sampling, per-occurrence tree expansion
     cached = hierarchical epoch cache (train/cached.py) — the flagship
   across compute dtypes (f32 / bf16 MXU-native), aggregators (MEAN / MAX —
-  the two the reference benchmarks), and learn methods (sup / unsup —
-  the unsup row runs the pair-loss SDDMM block each step).
+  the two the reference benchmarks — plus the cached-LSTM hybrid), and
+  learn methods (sup / unsup — the unsup row runs the pair-loss SDDMM
+  block each step).
 - A 10M-edge / 1M-node row lives in tools/bigscale_bench.py →
   BIGSCALE_r02.json (synthetic generation costs ~100 s of host time, too
   slow to pay on every bench run).
@@ -58,7 +59,7 @@ PEAK_TFLOPS = {
 
 def matmul_flops_per_step(pipeline: str, n_nodes: int, feat_dim: int,
                           batch: int, fanout: int, hidden: int,
-                          classes: int) -> float:
+                          classes: int, agg: str = "MEAN") -> float:
     """Analytic matmul FLOPs actually executed per train step (fwd + the
     backward GEMMs autodiff emits).  Gathers/reduces/sampling are excluded
     (they are not MXU work).  XLA's cost_analysis is not used: it
@@ -74,6 +75,10 @@ def matmul_flops_per_step(pipeline: str, n_nodes: int, feat_dim: int,
         # layer2 fwd + dW + dx
         f += 2 * batch * (2 * hidden) * hidden * 3
         f += 2 * batch * hidden * classes * 3
+        if agg == "LSTM":
+            # hybrid layer-2 LSTM cell: per slot, x·w_ihᵀ + h·w_hhᵀ =
+            # 2·(2·H·4H) FLOPs over batch rows, K+1 slots, fwd + backward
+            f += batch * k1 * 16 * hidden * hidden * 3
         return float(f)
     if pipeline == "dense":
         # table pretransform fwd + dW (feature table is constant: no dx)
@@ -99,9 +104,12 @@ def _row_from_dt(name, pipeline, dtype, batch, ds, pad, dt, fanout, hidden,
     device_kind = jax.devices()[0].device_kind
     peak = PEAK_TFLOPS.get(device_kind)
     flops = matmul_flops_per_step(pipeline, ds.num_nodes, ds.feature_dim,
-                                  batch, fanout, hidden, ds.num_classes)
+                                  batch, fanout, hidden, ds.num_classes,
+                                  agg)
     edges = edges_per_batch(batch, 2, fanout)
-    ref = REFERENCE_EDGES_PER_SEC[agg]
+    # the reference has no LSTM aggregator (SURVEY §2a comp. 9): the hybrid
+    # row compares against the reference's MEAN baseline
+    ref = REFERENCE_EDGES_PER_SEC.get(agg, REFERENCE_EDGES_PER_SEC["MEAN"])
     row = {
         "name": name, "pipeline": pipeline, "dtype": dtype, "agg": agg,
         "batch": batch, "nodes": ds.num_nodes,
@@ -271,11 +279,17 @@ def main() -> None:
             ("cached", 32768, "float32", "MEAN"),
             ("cached", 32768, "bfloat16", "MEAN"),
             ("cached", 32768, "bfloat16", "MAX"),
+            ("cached", 32768, "bfloat16", "LSTM"),
             ("cached", 65536, "bfloat16", "MEAN")]:
-        suffix = "" if agg == "MEAN" else f"_{agg.lower()}"
+        suffix = ("" if agg == "MEAN" else
+                  "_lstm_hybrid" if agg == "LSTM" else f"_{agg.lower()}")
+        note = ("cached-LSTM hybrid (train/cached.py): MEAN leaf cache, "
+                "live LSTM cells at layer 2; reference has no LSTM — "
+                "vs_reference uses the MEAN sup baseline"
+                if agg == "LSTM" else None)
         rows.append(run_row(
             f"powerlaw100k_b{batch}_{pipeline}_{dtype}{suffix}", pl, pl_pad,
-            pipeline, batch, dtype, agg=agg))
+            pipeline, batch, dtype, agg=agg, note=note))
         print_row(rows[-1])
 
     rows.append(run_unsup_row("powerlaw100k_b32768_cached_bfloat16_unsup",
