@@ -21,6 +21,7 @@ Package layout:
   sampler/   device-side neighbor sampling, random-walk positives, negatives
   train/     training loops (sup / unsup / plus_unsup), evaluation protocol
   parallel/  device mesh, data/edge partitioning, halo exchange
+  infer.py   deterministic full-graph inference + serving bundles
   utils/     config, metrics, checkpointing (orbax), logging
 """
 

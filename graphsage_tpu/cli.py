@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the MXU-native mode; params stay float32)")
     p.add_argument("--data_root", type=str, default=None,
                    help="dataset directory override")
+    p.add_argument("--export", type=str, default=None,
+                   help="after training, write a serving bundle (orbax "
+                        "params + model config JSON) to this directory "
+                        "(graphsage_tpu.infer loads it without the "
+                        "training stack)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--metrics", type=str, default=None,
                    help="path for jsonl structured metrics")
@@ -192,6 +197,13 @@ def main(argv=None) -> int:
 
     trainer.fit()
     print(f"Best validation F1: {trainer.max_vali_f1:.4f}")
+    if args.export:
+        from graphsage_tpu.infer import export_bundle
+        export_bundle(args.export, trainer.params, mcfg, ds.num_classes,
+                      meta={"dataset": ds.name,
+                            "best_val_f1": float(trainer.max_vali_f1)})
+        if not args.quiet:
+            print(f"exported serving bundle to {args.export}")
     return 0
 
 

@@ -1,0 +1,289 @@
+"""Deterministic full-graph inference and serving export.
+
+The reference's only inference surface is ``get_gnn_embeddings``
+(src/utils.py:59-78): minibatched forwards with **fresh random fanout-10
+sampling**, so even evaluation is nondeterministic (src/utils.py:27 — the
+val forward resamples every call).  That protocol lives in
+``Trainer.embed_nodes`` / ``Trainer.all_embeddings``.  This module adds the
+serving-grade alternative the reference lacks:
+
+- **Exact, deterministic full-neighborhood inference** — propagate every
+  node one layer at a time over the full padded adjacency (all true
+  neighbors, no sampling).  Two calls give bit-identical embeddings, and
+  every node sees its complete neighborhood (the standard layer-wise
+  GraphSAGE inference scheme).  On TPU this is the ideal shape of work:
+  each layer is one [N, D]·[D, 2H] table GEMM (the MEAN pretransform —
+  mean is linear, so aggregate-then-transform == transform-then-aggregate)
+  plus blocked H-wide gathers, all under one jit.
+- **Export/load bundles** — orbax params + a JSON model config, so a
+  trained model can be shipped to a serving process that never imports the
+  training stack (no sampler, no optimizer, no pair machinery).
+
+Self-inclusion semantics match the samplers (src/models.py:285,297-298 via
+sampler/device.py): the aggregation set is the full neighbor set minus the
+node itself unless ``gcn``, in which case it is neighbors ∪ {self} with
+self-loop edges masked so self is never double-counted.  MEAN over zero
+valid slots yields 0 (documented ops/aggregate.py semantics).  LSTM
+aggregation is order-sensitive; deterministic inference runs the cell over
+the adjacency-table slot order (training uses random slot orders — the
+fixed order is what makes serving reproducible).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphsage_tpu.data.graph import PaddedAdjacency
+from graphsage_tpu.models.graphsage import GraphSageConfig, init_graphsage
+from graphsage_tpu.models.layers import (classifier_apply, init_classifier,
+                                         sage_layer_apply)
+from graphsage_tpu.models.lstm_agg import lstm_aggregate
+from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
+
+# Per-block VMEM-side budget for the gathered [block, P, D] activations of
+# the MAX/LSTM paths (MEAN never materializes them — see pretransform).
+_GATHER_BYTES_BUDGET = 256 << 20
+
+
+def _pick_block(n: int, width: int, feat_dim: int, itemsize: int,
+                requested: int | None) -> int:
+    if requested is not None:
+        return max(1, min(requested, n))
+    per_row = max(1, width * feat_dim * itemsize)
+    block = _GATHER_BYTES_BUDGET // per_row
+    return int(np.clip(block, 256, max(256, n)))
+
+
+def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
+                h: jax.Array, idx: jax.Array, mask: jax.Array,
+                blocks: int, block: int) -> jax.Array:
+    """One full-table layer: h [N, Din] -> [N, H] (padded to blocks·block).
+
+    idx/mask: [blocks·block, S] aggregation slots (self slot appended by the
+    caller in gcn mode).  The gather/aggregate stage runs under lax.map in
+    ``blocks`` chunks to bound the [block, S, *] intermediates.
+    """
+    w = params["layers"][layer]["weight"]
+    hdim = w.shape[0]
+    n = h.shape[0]
+    idx_b = idx.reshape(blocks, block, -1)
+    mask_b = mask.reshape(blocks, block, -1)
+    row_b = jnp.arange(blocks * block, dtype=jnp.int32).reshape(blocks, block)
+    row_b = jnp.minimum(row_b, n - 1)  # padded tail rows: computed, dropped
+
+    if cfg.agg_func == "MEAN":
+        # mean is linear: transform the TABLE once ([N, Din]·[Din, 2H] for
+        # non-gcn), then gather/average H-wide rows — identical math to
+        # aggregate-then-transform up to matmul reassociation, with D/H x
+        # less gather traffic (models/graphsage.py pretransform rationale).
+        din = h.shape[1]
+        if cfg.gcn:
+            z = jnp.dot(h, w.T, preferred_element_type=jnp.float32
+                        ).astype(h.dtype)                       # [N, H]
+
+            def blk(args):
+                i, m, r = args
+                return jax.nn.relu(mean_aggregate(z, i, m)
+                                   ).astype(h.dtype)
+        else:
+            w_stack = jnp.concatenate([w[:, :din], w[:, din:]], axis=0)
+            z = jnp.dot(h, w_stack.T, preferred_element_type=jnp.float32
+                        ).astype(h.dtype)                       # [N, 2H]
+
+            def blk(args):
+                i, m, r = args
+                agg = mean_aggregate(z[:, hdim:], i, m)
+                return jax.nn.relu(agg + jnp.take(z[:, :hdim], r, axis=0)
+                                   ).astype(h.dtype)
+
+        out = jax.lax.map(blk, (idx_b, mask_b, row_b))
+        return out.reshape(blocks * block, hdim)
+
+    if cfg.agg_func == "MAX":
+        def blk(args):
+            i, m, r = args
+            agg = max_aggregate(h, i, m)
+            self_rows = (agg if cfg.gcn else jnp.take(h, r, axis=0))
+            from graphsage_tpu.models.layers import sage_layer_apply
+            return sage_layer_apply(params["layers"][layer],
+                                    self_rows, agg, gcn=cfg.gcn)
+
+        out = jax.lax.map(blk, (idx_b, mask_b, row_b))
+        return out.reshape(blocks * block, hdim)
+
+    if cfg.agg_func == "LSTM":
+        def blk(args):
+            i, m, r = args
+            agg = lstm_aggregate(params["agg"][layer], h, i, m)
+            self_rows = (agg if cfg.gcn else jnp.take(h, r, axis=0))
+            from graphsage_tpu.models.layers import sage_layer_apply
+            return sage_layer_apply(params["layers"][layer],
+                                    self_rows, agg, gcn=cfg.gcn)
+
+        out = jax.lax.map(blk, (idx_b, mask_b, row_b))
+        return out.reshape(blocks * block, hdim)
+
+    raise ValueError(f"unknown agg_func {cfg.agg_func!r}")
+
+
+@partial(jax.jit, static_argnames=("cfg", "blocks", "block"))
+def _full_embed(params: dict, cfg: GraphSageConfig, feats: jax.Array,
+                neighbors: jax.Array, degrees: jax.Array,
+                blocks: int, block: int) -> jax.Array:
+    """All-layer full-neighborhood propagation: [N, D] -> [N, out_size]."""
+    n, p = neighbors.shape
+    npad = blocks * block
+    own = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.arange(p, dtype=jnp.int32)[None, :]
+    valid = slot < degrees[:, None]
+    # self never aggregates with itself: reference removes self from the
+    # set unless gcn (src/models.py:297-298), and in gcn mode self enters
+    # once via the dedicated slot below — mask self-loop edges either way.
+    valid &= neighbors != own[:, None]
+    mask = valid.astype(feats.dtype)
+    idx = neighbors.astype(jnp.int32)
+    if cfg.gcn:
+        idx = jnp.concatenate([own[:, None], idx], axis=1)
+        mask = jnp.concatenate([jnp.ones((n, 1), mask.dtype), mask], axis=1)
+    pad_rows = npad - n
+    if pad_rows:
+        idx = jnp.pad(idx, ((0, pad_rows), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_rows), (0, 0)))
+
+    h = feats.astype(jnp.dtype(cfg.compute_dtype))
+    for layer in range(cfg.num_layers):
+        with jax.named_scope(f"infer_layer_{layer + 1}"):
+            # _layer_full returns blocks·block rows; only the first n are
+            # real nodes (idx values always index < n)
+            h = _layer_full(cfg, params, layer, h, idx, mask,
+                            blocks, block)[:n]
+    return h
+
+
+def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
+                          feats, pad: PaddedAdjacency,
+                          block: int | None = None) -> np.ndarray:
+    """Exact deterministic embeddings for every node: [N, out_size] f32.
+
+    ``pad`` should be the full (uncapped) adjacency for exact semantics; a
+    width-capped table computes the same propagation over the capped
+    neighbor sets (documented truncation, still deterministic).
+    """
+    n = pad.num_nodes
+    feats = jnp.asarray(feats)
+    block = _pick_block(n, pad.width, feats.shape[1],
+                        jnp.dtype(cfg.compute_dtype).itemsize, block)
+    blocks = -(-n // block)
+    out = _full_embed(params, cfg, feats, jnp.asarray(pad.neighbors),
+                      jnp.asarray(pad.degrees), blocks, block)
+    return np.asarray(out, dtype=np.float32)
+
+
+# --------------------------------------------------------------- serving
+
+_BUNDLE_META = "bundle.json"
+_BUNDLE_PARAMS = "params"
+
+
+def export_bundle(path: str, params: dict, mcfg: GraphSageConfig,
+                  num_classes: int, meta: dict | None = None) -> None:
+    """Write a self-contained serving bundle: orbax params + JSON config.
+
+    ``params`` is the trainer pytree {"sage": ..., "clf": ...}.  The bundle
+    is everything a serving process needs besides the graph itself (exceeds
+    the reference's whole-module torch.save, src/utils.py:52, which can
+    only be loaded back into the training code).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    record = {
+        "model": dataclasses.asdict(mcfg),
+        "num_classes": int(num_classes),
+        "format_version": 1,
+    }
+    if meta:
+        record["meta"] = meta
+    with open(os.path.join(path, _BUNDLE_META), "w") as f:
+        json.dump(record, f, indent=1)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, _BUNDLE_PARAMS),
+               jax.device_get(params), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_bundle(path: str) -> tuple[dict, GraphSageConfig, int, dict]:
+    """Restore (params, mcfg, num_classes, meta) from an exported bundle."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _BUNDLE_META)) as f:
+        record = json.load(f)
+    mcfg = GraphSageConfig(**record["model"])
+    num_classes = int(record["num_classes"])
+    # abstract target rebuilt host-side from the config (shape/dtype only)
+    k = jax.random.PRNGKey(0)
+    abstract = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype),
+        jax.device_get({"sage": init_graphsage(k, mcfg),
+                        "clf": init_classifier(k, mcfg.out_size,
+                                               num_classes)}))
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(os.path.join(path, _BUNDLE_PARAMS),
+                           target=abstract)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    return params, mcfg, num_classes, record.get("meta", {})
+
+
+class InferenceSession:
+    """Serving-side handle: deterministic embeddings + class predictions.
+
+    Wraps a trained (or bundle-loaded) model with a graph: computes the
+    full-graph embedding table once (lazily) and serves arbitrary node
+    queries from it.  No training imports, no RNG, no host sampling.
+    """
+
+    def __init__(self, params: dict, mcfg: GraphSageConfig,
+                 feats, pad: PaddedAdjacency,
+                 block: int | None = None) -> None:
+        self.params = params
+        self.mcfg = mcfg
+        self.feats = feats
+        self.pad = pad
+        self.block = block
+        self._emb: np.ndarray | None = None
+
+    @classmethod
+    def from_bundle(cls, path: str, feats, pad: PaddedAdjacency,
+                    block: int | None = None) -> "InferenceSession":
+        params, mcfg, _ncls, _meta = load_bundle(path)
+        return cls(params, mcfg, feats, pad, block)
+
+    def embeddings(self) -> np.ndarray:
+        """[N, out_size] f32 table, computed once and cached."""
+        if self._emb is None:
+            self._emb = full_graph_embeddings(
+                self.params["sage"], self.mcfg, self.feats, self.pad,
+                self.block)
+        return self._emb
+
+    def embed(self, nodes) -> np.ndarray:
+        return self.embeddings()[np.asarray(nodes)]
+
+    def log_probs(self, nodes) -> np.ndarray:
+        embs = jnp.asarray(self.embed(nodes))
+        return np.asarray(classifier_apply(self.params["clf"], embs),
+                          dtype=np.float32)
+
+    def predict(self, nodes) -> np.ndarray:
+        """argmax class per node (reference predicts via
+        classification(embs).max(1) — src/utils.py:28-33)."""
+        return np.argmax(self.log_probs(nodes), axis=1)

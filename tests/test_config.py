@@ -72,10 +72,12 @@ def test_cli_main_end_to_end(tmp_path):
     from graphsage_tpu.cli import main
 
     metrics = tmp_path / "m.jsonl"
+    bundle = tmp_path / "bundle"
     rc = main(["--dataSet", "powerlaw:200:800", "--epochs", "1",
                "--b_sz", "32", "--hidden", "16", "--fanout", "4",
                "--seed", "3", "--quiet",
                "--checkpoint_dir", str(tmp_path / "ck"),
+               "--export", str(bundle),
                "--metrics", str(metrics)])
     assert rc == 0
     events = [json.loads(l) for l in metrics.read_text().splitlines()]
@@ -85,6 +87,18 @@ def test_cli_main_end_to_end(tmp_path):
     import os
     cks = os.listdir(tmp_path / "ck")
     assert any(c.startswith("model_best_") for c in cks), cks
+    # --export wrote a serving bundle that predicts without the trainer
+    import numpy as np
+
+    from graphsage_tpu.data import load_dataset
+    from graphsage_tpu.infer import InferenceSession
+
+    ds = load_dataset("powerlaw:200:800", seed=3)
+    sess = InferenceSession.from_bundle(str(bundle), ds.features,
+                                        ds.graph.to_padded())
+    pred = sess.predict(np.arange(ds.num_nodes))
+    assert pred.shape == (ds.num_nodes,)
+    assert set(np.unique(pred)) <= set(range(ds.num_classes))
 
 
 def test_cli_dist_pipeline(capsys):

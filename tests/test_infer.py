@@ -1,0 +1,124 @@
+"""Deterministic full-graph inference + serving bundles (graphsage_tpu.infer).
+
+Oracle: explicit numpy layer-wise propagation replicating the reference
+aggregation semantics over FULL neighbor sets (src/models.py:291-330 with
+the sample = the whole adjacency row): per node, MEAN/MAX over neighbors
+(minus self unless gcn, self unioned once in gcn), concat self, W, relu.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.data.graph import CSRGraph
+from graphsage_tpu.infer import (InferenceSession, export_bundle,
+                                 full_graph_embeddings, load_bundle)
+from graphsage_tpu.models import GraphSageConfig, init_graphsage
+from graphsage_tpu.models.layers import classifier_apply, init_classifier
+
+
+def _random_graph(n=37, extra_edges=90, seed=3, self_loop=True):
+    rng = np.random.RandomState(seed)
+    # a ring (connected) + random chords; one explicit self-loop to check
+    # the self-masking rule
+    src = np.concatenate([np.arange(n), rng.randint(0, n, extra_edges)])
+    dst = np.concatenate([(np.arange(n) + 1) % n,
+                          rng.randint(0, n, extra_edges)])
+    if self_loop:
+        src = np.concatenate([src, [5]])
+        dst = np.concatenate([dst, [5]])
+    g = CSRGraph.from_edges(n, src, dst, undirected=True)
+    feats = rng.randn(n, 12).astype(np.float32)
+    return g, feats
+
+
+def _numpy_oracle(params, cfg, feats, g: CSRGraph):
+    h = feats.astype(np.float64)
+    n = g.num_nodes
+    for layer in range(cfg.num_layers):
+        w = np.asarray(params["layers"][layer]["weight"], np.float64)
+        out = np.zeros((n, w.shape[0]))
+        for v in range(n):
+            neigh = [u for u in g.neighbors(v) if u != v]
+            members = ([v] + neigh) if cfg.gcn else neigh
+            if members:
+                rows = h[np.asarray(members)]
+                agg = (rows.mean(0) if cfg.agg_func == "MEAN"
+                       else rows.max(0))
+            else:
+                agg = np.zeros(h.shape[1])
+            combined = agg if cfg.gcn else np.concatenate([h[v], agg])
+            out[v] = np.maximum(combined @ w.T, 0.0)
+        h = out
+    return h
+
+
+@pytest.mark.parametrize("gcn", [False, True])
+@pytest.mark.parametrize("agg", ["MEAN", "MAX"])
+def test_full_embed_matches_numpy_oracle(agg, gcn):
+    g, feats = _random_graph()
+    cfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8,
+                          agg_func=agg, gcn=gcn)
+    params = init_graphsage(jax.random.PRNGKey(0), cfg)
+    got = full_graph_embeddings(params, cfg, feats, g.to_padded())
+    want = _numpy_oracle(jax.device_get(params), cfg, feats, g)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_blocking_invariance_and_determinism():
+    g, feats = _random_graph(n=53, extra_edges=140, seed=7)
+    cfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    params = init_graphsage(jax.random.PRNGKey(1), cfg)
+    pad = g.to_padded()
+    a = full_graph_embeddings(params, cfg, feats, pad, block=7)
+    b = full_graph_embeddings(params, cfg, feats, pad, block=None)
+    c = full_graph_embeddings(params, cfg, feats, pad, block=None)
+    np.testing.assert_array_equal(b, c)          # bit-identical reruns
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_lstm_full_embed_blocking_invariant_and_deterministic():
+    g, feats = _random_graph(n=29, extra_edges=60, seed=11)
+    cfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8,
+                          agg_func="LSTM")
+    params = init_graphsage(jax.random.PRNGKey(2), cfg)
+    pad = g.to_padded()
+    a = full_graph_embeddings(params, cfg, feats, pad, block=5)
+    b = full_graph_embeddings(params, cfg, feats, pad)
+    c = full_graph_embeddings(params, cfg, feats, pad)
+    np.testing.assert_array_equal(b, c)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(a).all() and np.abs(a).sum() > 0
+
+
+def test_export_load_roundtrip_and_session(tmp_path):
+    g, feats = _random_graph()
+    n_classes = 4
+    cfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    params = {"sage": init_graphsage(k1, cfg),
+              "clf": init_classifier(k2, 8, n_classes)}
+    path = str(tmp_path / "bundle")
+    export_bundle(path, params, cfg, n_classes, meta={"dataset": "toy"})
+
+    restored, rcfg, rncls, meta = load_bundle(path)
+    assert rcfg == cfg and rncls == n_classes and meta == {"dataset": "toy"}
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(params), restored)
+
+    sess = InferenceSession.from_bundle(path, feats, g.to_padded())
+    embs = sess.embeddings()
+    direct = full_graph_embeddings(params["sage"], cfg, feats, g.to_padded())
+    np.testing.assert_allclose(embs, direct, rtol=1e-6, atol=1e-7)
+
+    nodes = np.array([0, 5, 17])
+    lp = sess.log_probs(nodes)
+    want_lp = np.asarray(
+        classifier_apply(params["clf"], jnp.asarray(embs[nodes])))
+    np.testing.assert_allclose(lp, want_lp, rtol=1e-5, atol=1e-6)
+    pred = sess.predict(nodes)
+    assert pred.shape == (3,) and set(pred) <= set(range(n_classes))
+    np.testing.assert_array_equal(pred, np.argmax(want_lp, axis=1))
