@@ -52,11 +52,14 @@ from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
 _GATHER_BYTES_BUDGET = 256 << 20
 
 
-def _pick_block(n: int, width: int, feat_dim: int, itemsize: int,
+def _pick_block(n: int, width: int, gather_dim: int, itemsize: int,
                 requested: int | None) -> int:
+    """``gather_dim`` is the width of the rows actually gathered: out_size
+    for MEAN (the pretransform gathers H-wide activations, never raw
+    features), the raw feature dim for MAX/LSTM layer 1."""
     if requested is not None:
         return max(1, min(requested, n))
-    per_row = max(1, width * feat_dim * itemsize)
+    per_row = max(1, width * gather_dim * itemsize)
     block = _GATHER_BYTES_BUDGET // per_row
     return int(np.clip(block, 256, max(256, n)))
 
@@ -175,15 +178,110 @@ def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
     ``pad`` should be the full (uncapped) adjacency for exact semantics; a
     width-capped table computes the same propagation over the capped
     neighbor sets (documented truncation, still deterministic).
+
+    For repeated calls (serving loops), pass device-resident arrays —
+    ``feats`` as a jax array and a ``PaddedAdjacency`` whose
+    neighbors/degrees were ``jax.device_put``; with numpy inputs every
+    call re-uploads the tables (InferenceSession pins them once).
     """
     n = pad.num_nodes
     feats = jnp.asarray(feats)
-    block = _pick_block(n, pad.width, feats.shape[1],
+    gather_dim = (cfg.out_size if cfg.agg_func == "MEAN"
+                  else max(int(feats.shape[1]), cfg.out_size))
+    block = _pick_block(n, pad.width, gather_dim,
                         jnp.dtype(cfg.compute_dtype).itemsize, block)
     blocks = -(-n // block)
     out = _full_embed(params, cfg, feats, jnp.asarray(pad.neighbors),
                       jnp.asarray(pad.degrees), blocks, block)
     return np.asarray(out, dtype=np.float32)
+
+
+def full_graph_embeddings_sharded(params: dict, cfg: GraphSageConfig,
+                                  feats, pad: PaddedAdjacency,
+                                  mesh=None, axis: str = "data"
+                                  ) -> np.ndarray:
+    """Multi-device deterministic inference: node rows sharded over a mesh.
+
+    Per layer the per-device program is transform-locally-then-all_gather:
+    each device applies the layer weight to its OWN rows (for MEAN via the
+    pretransform, so the collective moves H-wide activations — 2·H floats
+    per node instead of D features), `all_gather`s the [N, ·] table over
+    ICI, and aggregates its own rows' neighborhoods locally.  MAX/LSTM are
+    nonlinear in the neighbors, so they gather the raw [N, Din] table
+    instead.  Math is identical to :func:`full_graph_embeddings` up to
+    reassociation; parity is tested on the virtual 8-device CPU mesh
+    (tests/test_infer.py).
+    """
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs, (axis,))
+    n_dev = mesh.shape[axis]
+    n, p = pad.neighbors.shape
+    npad = -(-n // n_dev) * n_dev
+
+    # global aggregation slots, built exactly as in _full_embed
+    own = np.arange(n, dtype=np.int32)
+    valid = (np.arange(p)[None, :] < pad.degrees[:, None])
+    valid &= pad.neighbors != own[:, None]
+    mask = valid.astype(np.dtype(cfg.compute_dtype))
+    idx = pad.neighbors.astype(np.int32)
+    if cfg.gcn:
+        idx = np.concatenate([own[:, None], idx], axis=1)
+        mask = np.concatenate([np.ones((n, 1), mask.dtype), mask], axis=1)
+    idx = np.pad(idx, ((0, npad - n), (0, 0)))
+    mask = np.pad(mask, ((0, npad - n), (0, 0)))
+    h0 = np.zeros((npad, feats.shape[1]), dtype=np.dtype(cfg.compute_dtype))
+    h0[:n] = np.asarray(feats)
+
+    row_shard = NamedSharding(mesh, P(axis))
+    h0, idx, mask = (jax.device_put(h0, row_shard),
+                     jax.device_put(idx, row_shard),
+                     jax.device_put(mask, row_shard))
+
+    def device_program(params, h_loc, idx_loc, mask_loc):
+        for layer in range(cfg.num_layers):
+            w = params["layers"][layer]["weight"]
+            hdim = w.shape[0]
+            if cfg.agg_func == "MEAN":
+                din = h_loc.shape[1]
+                if cfg.gcn:
+                    z_loc = jnp.dot(h_loc, w.T,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(h_loc.dtype)
+                    z = jax.lax.all_gather(z_loc, axis, axis=0, tiled=True)
+                    h_loc = jax.nn.relu(
+                        mean_aggregate(z, idx_loc, mask_loc)
+                    ).astype(z.dtype)
+                else:
+                    w_stack = jnp.concatenate([w[:, :din], w[:, din:]],
+                                              axis=0)
+                    z_loc = jnp.dot(h_loc, w_stack.T,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(h_loc.dtype)
+                    z = jax.lax.all_gather(z_loc, axis, axis=0, tiled=True)
+                    agg = mean_aggregate(z[:, hdim:], idx_loc, mask_loc)
+                    h_loc = jax.nn.relu(agg + z_loc[:, :hdim]
+                                        ).astype(z.dtype)
+            else:
+                h_full = jax.lax.all_gather(h_loc, axis, axis=0, tiled=True)
+                if cfg.agg_func == "MAX":
+                    agg = max_aggregate(h_full, idx_loc, mask_loc)
+                else:
+                    agg = lstm_aggregate(params["agg"][layer], h_full,
+                                         idx_loc, mask_loc)
+                h_loc = sage_layer_apply(params["layers"][layer], h_loc,
+                                         agg, gcn=cfg.gcn)
+        return h_loc
+
+    fn = jax.jit(shard_map(
+        device_program, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)), out_specs=P(axis)))
+    out = fn(params, h0, idx, mask)
+    return np.asarray(out, dtype=np.float32)[:n]
 
 
 # --------------------------------------------------------------- serving
@@ -256,8 +354,13 @@ class InferenceSession:
                  block: int | None = None) -> None:
         self.params = params
         self.mcfg = mcfg
-        self.feats = feats
-        self.pad = pad
+        # pin the graph on device once: serving calls must not re-upload
+        # the feature/adjacency tables (dominant cost on remote backends)
+        self.feats = jax.device_put(jnp.asarray(feats))
+        self.pad = PaddedAdjacency(
+            neighbors=jax.device_put(jnp.asarray(pad.neighbors)),
+            degrees=jax.device_put(jnp.asarray(pad.degrees)),
+            true_degrees=pad.true_degrees, truncated=pad.truncated)
         self.block = block
         self._emb: np.ndarray | None = None
 

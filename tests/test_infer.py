@@ -92,6 +92,23 @@ def test_lstm_full_embed_blocking_invariant_and_deterministic():
     assert np.isfinite(a).all() and np.abs(a).sum() > 0
 
 
+@pytest.mark.parametrize("agg,gcn", [("MEAN", False), ("MEAN", True),
+                                     ("MAX", False), ("LSTM", False)])
+def test_sharded_inference_matches_single_device(agg, gcn):
+    """full_graph_embeddings_sharded over the virtual 8-device mesh ==
+    the single-device propagation (uneven N to exercise row padding)."""
+    from graphsage_tpu.infer import full_graph_embeddings_sharded
+
+    g, feats = _random_graph(n=61, extra_edges=150, seed=13)
+    cfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8,
+                          agg_func=agg, gcn=gcn)
+    params = init_graphsage(jax.random.PRNGKey(4), cfg)
+    pad = g.to_padded()
+    want = full_graph_embeddings(params, cfg, feats, pad)
+    got = full_graph_embeddings_sharded(params, cfg, feats, pad)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_export_load_roundtrip_and_session(tmp_path):
     g, feats = _random_graph()
     n_classes = 4
