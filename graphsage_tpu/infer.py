@@ -109,24 +109,14 @@ def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
         out = jax.lax.map(blk, (idx_b, mask_b, row_b))
         return out.reshape(blocks * block, hdim)
 
-    if cfg.agg_func == "MAX":
+    if cfg.agg_func in ("MAX", "LSTM"):
         def blk(args):
             i, m, r = args
-            agg = max_aggregate(h, i, m)
+            if cfg.agg_func == "MAX":
+                agg = max_aggregate(h, i, m)
+            else:
+                agg = lstm_aggregate(params["agg"][layer], h, i, m)
             self_rows = (agg if cfg.gcn else jnp.take(h, r, axis=0))
-            from graphsage_tpu.models.layers import sage_layer_apply
-            return sage_layer_apply(params["layers"][layer],
-                                    self_rows, agg, gcn=cfg.gcn)
-
-        out = jax.lax.map(blk, (idx_b, mask_b, row_b))
-        return out.reshape(blocks * block, hdim)
-
-    if cfg.agg_func == "LSTM":
-        def blk(args):
-            i, m, r = args
-            agg = lstm_aggregate(params["agg"][layer], h, i, m)
-            self_rows = (agg if cfg.gcn else jnp.take(h, r, axis=0))
-            from graphsage_tpu.models.layers import sage_layer_apply
             return sage_layer_apply(params["layers"][layer],
                                     self_rows, agg, gcn=cfg.gcn)
 

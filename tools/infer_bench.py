@@ -111,6 +111,15 @@ def main():
              "layers' aggregations")
     run("powerlaw100k_cap32_bf16_max", pl, pl32, "bfloat16", "MAX")
 
+    if "--bigscale" in sys.argv:
+        # BASELINE config-5 scale (tools/bigscale_bench.py workload):
+        # ~90 s of host generation, hence opt-in
+        big = synthetic_power_law(1_000_000, 10_000_000, num_feats=602,
+                                  num_classes=16, seed=0)
+        big32 = big.graph.to_padded_sampled(16, np.random.RandomState(99))
+        run("powerlaw1M_cap16_bf16", big, big32, "bfloat16", "MEAN",
+            note="10M-edge config-5 scale, width-16 table")
+
     with open("INFER_r02.json", "w") as f:
         json.dump({"rows": rows, "reps": REPS,
                    "note": ("timed region = on-device embed-all with "
