@@ -129,8 +129,16 @@ def main(argv=None) -> int:
         strict_clf_eval=args.strict_clf_eval, verbose=not args.quiet,
         metrics_path=args.metrics)
 
+    # best-val params snapshot: checkpoint_fn fires exactly on val
+    # improvement, so the last snapshot is the model that achieved
+    # max_vali_f1 — what --export ships (final-epoch params can be worse)
+    best = {"params": None}
+
     def checkpoint_fn(trainer, test_f1):
+        import jax as _jax
+
         from graphsage_tpu.utils.checkpoint import save_checkpoint
+        best["params"] = _jax.device_get(trainer.params)
         path = os.path.join(
             args.checkpoint_dir,
             f"model_best_{args.name}_ep{trainer.epoch}_{test_f1:.4f}")
@@ -199,11 +207,18 @@ def main(argv=None) -> int:
     print(f"Best validation F1: {trainer.max_vali_f1:.4f}")
     if args.export:
         from graphsage_tpu.infer import export_bundle
-        export_bundle(args.export, trainer.params, mcfg, ds.num_classes,
-                      meta={"dataset": ds.name,
-                            "best_val_f1": float(trainer.max_vali_f1)})
+        export_params = best["params"]
+        meta = {"dataset": ds.name,
+                "best_val_f1": float(trainer.max_vali_f1),
+                "params": "best-val"}
+        if export_params is None:  # no improvement ever checkpointed
+            export_params = trainer.params
+            meta["params"] = "final-epoch"
+        export_bundle(args.export, export_params, mcfg, ds.num_classes,
+                      meta=meta)
         if not args.quiet:
-            print(f"exported serving bundle to {args.export}")
+            print(f"exported serving bundle to {args.export} "
+                  f"({meta['params']} params)")
     return 0
 
 

@@ -47,8 +47,10 @@ from graphsage_tpu.models.layers import (classifier_apply, init_classifier,
 from graphsage_tpu.models.lstm_agg import lstm_aggregate
 from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
 
-# Per-block VMEM-side budget for the gathered [block, P, D] activations of
-# the MAX/LSTM paths (MEAN never materializes them — see pretransform).
+# HBM working-set budget for one block's gathered [block, S, gather_dim]
+# intermediate (lax.map bounds the peak to one block at a time).  This is
+# NOT a VMEM bound — VMEM is ~16 MB and XLA tiles within the block; the
+# budget just keeps the intermediate small next to the node tables.
 _GATHER_BYTES_BUDGET = 256 << 20
 
 
@@ -162,7 +164,8 @@ def _full_embed(params: dict, cfg: GraphSageConfig, feats: jax.Array,
 
 def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
                           feats, pad: PaddedAdjacency,
-                          block: int | None = None) -> np.ndarray:
+                          block: int | None = None,
+                          fetch: bool = True):
     """Exact deterministic embeddings for every node: [N, out_size] f32.
 
     ``pad`` should be the full (uncapped) adjacency for exact semantics; a
@@ -173,6 +176,8 @@ def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
     ``feats`` as a jax array and a ``PaddedAdjacency`` whose
     neighbors/degrees were ``jax.device_put``; with numpy inputs every
     call re-uploads the tables (InferenceSession pins them once).
+    ``fetch=False`` returns the on-device [N, out_size] array instead of
+    pulling it to host f32 (benchmarks, device-side consumers).
     """
     n = pad.num_nodes
     feats = jnp.asarray(feats)
@@ -183,6 +188,8 @@ def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
     blocks = -(-n // block)
     out = _full_embed(params, cfg, feats, jnp.asarray(pad.neighbors),
                       jnp.asarray(pad.degrees), blocks, block)
+    if not fetch:
+        return out
     return np.asarray(out, dtype=np.float32)
 
 
@@ -369,7 +376,9 @@ class InferenceSession:
         return self._emb
 
     def embed(self, nodes) -> np.ndarray:
-        return self.embeddings()[np.asarray(nodes)]
+        """Rows of the embedding table; a scalar id yields a [1, H] batch
+        (predict/log_probs always return batched results)."""
+        return self.embeddings()[np.atleast_1d(np.asarray(nodes))]
 
     def log_probs(self, nodes) -> np.ndarray:
         embs = jnp.asarray(self.embed(nodes))

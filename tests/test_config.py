@@ -99,6 +99,12 @@ def test_cli_main_end_to_end(tmp_path):
     pred = sess.predict(np.arange(ds.num_nodes))
     assert pred.shape == (ds.num_nodes,)
     assert set(np.unique(pred)) <= set(range(ds.num_classes))
+    # the bundle ships the best-val snapshot (the run improved at least
+    # once, so checkpoint_fn captured params), recorded in the metadata
+    from graphsage_tpu.infer import load_bundle
+    _, _, _, meta = load_bundle(str(bundle))
+    assert meta["params"] == "best-val"
+    assert 0.0 <= meta["best_val_f1"] <= 1.0
 
 
 def test_cli_dist_pipeline(capsys):

@@ -139,3 +139,11 @@ def test_export_load_roundtrip_and_session(tmp_path):
     pred = sess.predict(nodes)
     assert pred.shape == (3,) and set(pred) <= set(range(n_classes))
     np.testing.assert_array_equal(pred, np.argmax(want_lp, axis=1))
+    # a scalar node id behaves as a 1-element batch
+    assert sess.predict(5).shape == (1,)
+    assert sess.predict(5)[0] == sess.predict([5])[0]
+    # fetch=False returns the device-resident table, same values
+    dev = full_graph_embeddings(params["sage"], cfg, feats, g.to_padded(),
+                                fetch=False)
+    np.testing.assert_allclose(np.asarray(dev, dtype=np.float32), direct,
+                               rtol=1e-6, atol=1e-7)

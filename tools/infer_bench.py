@@ -52,18 +52,18 @@ def main():
             neighbors=jax.device_put(jnp.asarray(pad.neighbors)),
             degrees=jax.device_put(jnp.asarray(pad.degrees)),
             true_degrees=pad.true_degrees, truncated=pad.truncated)
-        np.asarray(jnp.sum(dpad.degrees))          # barrier on the uploads
+        # barrier must touch EVERY uploaded array (device_put is async;
+        # summing only degrees would let the big transfers bleed into
+        # first_call_s)
+        np.asarray(jnp.sum(feats[0]) + jnp.sum(dpad.neighbors[0])
+                   + jnp.sum(dpad.degrees))
         upload_s = time.perf_counter() - t0
 
-        from graphsage_tpu.infer import _full_embed, _pick_block
         n = pad.num_nodes
-        gather_dim = (cfg.out_size if agg == "MEAN"
-                      else max(ds.feature_dim, cfg.out_size))
-        block = _pick_block(n, pad.width, gather_dim,
-                            jnp.dtype(dtype).itemsize, None)
-        blocks = -(-n // block)
-        emb = lambda: _full_embed(params, cfg, feats, dpad.neighbors,
-                                  dpad.degrees, blocks, block)
+        # the exact shipped serving path (fetch=False keeps the result on
+        # device so the timed region excludes the host pull)
+        emb = lambda: full_graph_embeddings(params, cfg, feats, dpad,
+                                            fetch=False)
         t0 = time.perf_counter()
         np.asarray(jnp.sum(emb()))                 # compile + run
         compile_s = time.perf_counter() - t0
@@ -84,7 +84,6 @@ def main():
             "nodes_per_sec": round(n / dt, 1),
             "edge_slots_per_sec": round(
                 float(pad.degrees.sum()) * cfg.num_layers / dt, 1),
-            "block": block,
             "first_call_s": round(compile_s, 2),
             "one_time_upload_s": round(upload_s, 2),
             "result_pull_s": round(fetch_s, 2),
