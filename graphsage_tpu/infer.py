@@ -389,3 +389,55 @@ class InferenceSession:
         """argmax class per node (reference predicts via
         classification(embs).max(1) — src/utils.py:28-33)."""
         return np.argmax(self.log_probs(nodes), axis=1)
+
+
+def _main(argv=None) -> int:
+    """Serving CLI: load a bundle, embed/predict from the command line.
+
+    python -m graphsage_tpu.infer --bundle bundles/cora --dataSet cora \
+        [--nodes 0,1,2] [--eval] [--save_embeddings out.npy]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--dataSet", default="cora")
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--seed", type=int, default=824,
+                    help="dataset seed (split / synthetic generation) — "
+                         "must match the training run's")
+    ap.add_argument("--nodes", default=None,
+                    help="comma-separated node ids to predict "
+                         "(default: report val/test F1 with --eval, "
+                         "else predict nothing)")
+    ap.add_argument("--eval", action="store_true",
+                    help="report deterministic val/test micro-F1")
+    ap.add_argument("--save_embeddings", default=None,
+                    help="write the [N, H] f32 table as .npy")
+    args = ap.parse_args(argv)
+
+    from graphsage_tpu.data import load_dataset
+
+    kw = {"root": args.data_root} if args.data_root else {}
+    ds = load_dataset(args.dataSet, seed=args.seed, **kw)
+    sess = InferenceSession.from_bundle(args.bundle, ds.features,
+                                        ds.graph.to_padded())
+    if args.nodes:
+        ids = np.array([int(x) for x in args.nodes.split(",")])
+        for i, p in zip(ids, sess.predict(ids)):
+            print(f"node {i}: class {p}")
+    if args.eval:
+        from graphsage_tpu.train.metrics import micro_f1
+        for split, nodes in (("val", ds.val_nodes), ("test",
+                                                     ds.test_nodes)):
+            f1 = micro_f1(ds.labels[nodes], sess.predict(nodes))
+            print(f"{split} micro-F1: {f1:.4f}")
+    if args.save_embeddings:
+        np.save(args.save_embeddings, sess.embeddings())
+        print(f"wrote embeddings {sess.embeddings().shape} to "
+              f"{args.save_embeddings}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -105,6 +105,14 @@ def test_cli_main_end_to_end(tmp_path):
     _, _, _, meta = load_bundle(str(bundle))
     assert meta["params"] == "best-val"
     assert 0.0 <= meta["best_val_f1"] <= 1.0
+    # serving CLI drives the same bundle (predict + eval + npy dump)
+    from graphsage_tpu.infer import _main as infer_main
+    emb_path = tmp_path / "emb.npy"
+    rc = infer_main(["--bundle", str(bundle), "--dataSet",
+                     "powerlaw:200:800", "--seed", "3", "--nodes", "0,5",
+                     "--eval", "--save_embeddings", str(emb_path)])
+    assert rc == 0
+    assert np.load(emb_path).shape == (ds.num_nodes, 16)
 
 
 def test_cli_dist_pipeline(capsys):
