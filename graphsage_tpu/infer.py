@@ -390,6 +390,17 @@ class InferenceSession:
         classification(embs).max(1) — src/utils.py:28-33)."""
         return np.argmax(self.log_probs(nodes), axis=1)
 
+    def score_pairs(self, src, dst) -> np.ndarray:
+        """Cosine similarity between embedding pairs — the unsup
+        objective's score (reference src/models.py:82: the trained
+        embeddings' natural link-prediction readout).  src/dst: equal-
+        length node-id arrays; returns [len] f32 in [-1, 1]."""
+        emb = self.embeddings()
+        a = emb[np.atleast_1d(np.asarray(src))]
+        b = emb[np.atleast_1d(np.asarray(dst))]
+        denom = (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        return (a * b).sum(axis=1) / np.maximum(denom, 1e-12)
+
 
 def _main(argv=None) -> int:
     """Serving CLI: load a bundle, embed/predict from the command line.

@@ -142,6 +142,12 @@ def test_export_load_roundtrip_and_session(tmp_path):
     # a scalar node id behaves as a 1-element batch
     assert sess.predict(5).shape == (1,)
     assert sess.predict(5)[0] == sess.predict([5])[0]
+    # link scores: cosine in [-1, 1], self-similarity exactly 1
+    s = sess.score_pairs([0, 5, 17], [0, 17, 5])
+    assert s.shape == (3,)
+    assert np.all(np.abs(s) <= 1.0 + 1e-6)
+    np.testing.assert_allclose(s[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(s[1], s[2], atol=1e-6)  # symmetric
     # fetch=False returns the device-resident table, same values
     dev = full_graph_embeddings(params["sage"], cfg, feats, g.to_padded(),
                                 fetch=False)
