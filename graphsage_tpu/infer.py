@@ -63,7 +63,10 @@ def _pick_block(n: int, width: int, gather_dim: int, itemsize: int,
         return max(1, min(requested, n))
     per_row = max(1, width * gather_dim * itemsize)
     block = _GATHER_BYTES_BUDGET // per_row
-    return int(np.clip(block, 256, max(256, n)))
+    # no lower clamp beyond 1: a wide uncapped adjacency (power-law hubs
+    # give per_row in the tens of MB) must be allowed tiny blocks, or the
+    # [block, S, D] temp silently exceeds the budget by orders of magnitude
+    return int(np.clip(block, 1, max(1, n)))
 
 
 def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,

@@ -132,9 +132,22 @@ def build_unsup_epoch_stack(pair_sampler, train_nodes: np.ndarray,
             labs[t, d, :pb.num_unique] = labels[
                 pb.unique_nodes[:pb.num_unique]]
             row_masks[t, d, :pb.num_unique] = 1.0
+    def pad_rows(arr: np.ndarray) -> np.ndarray:
+        # forced single-step epochs (train split < one b_sz grid) produce
+        # chunks shorter than b_loc: pad the per-target pair rows with
+        # zero-mask rows so stacking is rectangular and padded targets
+        # contribute exactly zero loss (same scheme as the single-device
+        # _stack_pair_batches in cached_trainer.py)
+        b = arr.shape[0]
+        if b < b_loc:
+            arr = np.concatenate(
+                [arr, np.zeros((b_loc - b,) + arr.shape[1:], arr.dtype)],
+                axis=0)
+        return arr
+
     for f in fields:
         stacked[f] = np.stack(
-            [np.stack([np.asarray(getattr(pbs[t][d], f))
+            [np.stack([pad_rows(np.asarray(getattr(pbs[t][d], f)))
                        for d in range(n_dev)]) for t in range(t_steps)])
     pair_stack = {f: jnp.asarray(v) for f, v in stacked.items()}
     return (jnp.asarray(batches), jnp.asarray(labs),

@@ -47,6 +47,22 @@ def test_plus_unsup_protocol_runs():
     assert tr.history
 
 
+def test_unsup_b_sz_larger_than_train_split():
+    """Forced single-step epochs (train split < one global batch) produce
+    ragged per-device chunks; the pair-field stacking must pad them to
+    b_loc with zero masks instead of crashing (regression: np.stack
+    ValueError on shapes (32,6)/(22,6)/(0,6))."""
+    ds = synthetic_power_law(300, 1500, num_feats=16, num_classes=4,
+                             seed=11)
+    mcfg = GraphSageConfig(num_layers=2, input_size=16, out_size=16)
+    tcfg = TrainConfig(learn_method="unsup", epochs=1, b_sz=256, fanout=4,
+                       seed=5, verbose=False, clf_epochs=5,
+                       strict_clf_eval=False)
+    tr = CachedDistTrainer(ds, mcfg, tcfg)
+    assert tr.tcfg.b_sz > len(ds.train_nodes)  # the ragged regime
+    assert np.isfinite(tr.train_epoch())
+
+
 def test_b_sz_rounds_to_device_grid():
     ds = synthetic_power_law(200, 900, num_feats=12, num_classes=3, seed=2)
     mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
