@@ -211,6 +211,12 @@ def main(argv=None) -> int:
         meta = {"dataset": ds.name,
                 "best_val_f1": float(trainer.max_vali_f1),
                 "params": "best-val"}
+        if (args.lstm_hybrid and args.agg_func == "LSTM"
+                and args.pipeline in ("cached", "cached_dist")):
+            # the trained topology is MEAN-at-layer-1 + LSTM above;
+            # InferenceSession.from_bundle reads this and serves the
+            # hybrid forward (the layer-0 LSTM cell is never trained)
+            meta["lstm_hybrid"] = True
         if export_params is None:  # no improvement ever checkpointed
             export_params = trainer.params
             meta["params"] = "final-epoch"

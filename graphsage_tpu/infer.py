@@ -71,13 +71,15 @@ def _pick_block(n: int, width: int, gather_dim: int, itemsize: int,
 
 def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
                 h: jax.Array, idx: jax.Array, mask: jax.Array,
-                blocks: int, block: int) -> jax.Array:
+                blocks: int, block: int,
+                agg_func: str | None = None) -> jax.Array:
     """One full-table layer: h [N, Din] -> [N, H] (padded to blocks·block).
 
     idx/mask: [blocks·block, S] aggregation slots (self slot appended by the
     caller in gcn mode).  The gather/aggregate stage runs under lax.map in
     ``blocks`` chunks to bound the [block, S, *] intermediates.
     """
+    agg_func = agg_func or cfg.agg_func
     w = params["layers"][layer]["weight"]
     hdim = w.shape[0]
     n = h.shape[0]
@@ -86,7 +88,7 @@ def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
     row_b = jnp.arange(blocks * block, dtype=jnp.int32).reshape(blocks, block)
     row_b = jnp.minimum(row_b, n - 1)  # padded tail rows: computed, dropped
 
-    if cfg.agg_func == "MEAN":
+    if agg_func == "MEAN":
         # mean is linear: transform the TABLE once ([N, Din]·[Din, 2H] for
         # non-gcn), then gather/average H-wide rows — identical math to
         # aggregate-then-transform up to matmul reassociation, with D/H x
@@ -114,10 +116,10 @@ def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
         out = jax.lax.map(blk, (idx_b, mask_b, row_b))
         return out.reshape(blocks * block, hdim)
 
-    if cfg.agg_func in ("MAX", "LSTM"):
+    if agg_func in ("MAX", "LSTM"):
         def blk(args):
             i, m, r = args
-            if cfg.agg_func == "MAX":
+            if agg_func == "MAX":
                 agg = max_aggregate(h, i, m)
             else:
                 agg = lstm_aggregate(params["agg"][layer], h, i, m)
@@ -128,13 +130,15 @@ def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
         out = jax.lax.map(blk, (idx_b, mask_b, row_b))
         return out.reshape(blocks * block, hdim)
 
-    raise ValueError(f"unknown agg_func {cfg.agg_func!r}")
+    raise ValueError(f"unknown agg_func {agg_func!r}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "blocks", "block"))
+@partial(jax.jit,
+         static_argnames=("cfg", "blocks", "block", "lstm_hybrid"))
 def _full_embed(params: dict, cfg: GraphSageConfig, feats: jax.Array,
                 neighbors: jax.Array, degrees: jax.Array,
-                blocks: int, block: int) -> jax.Array:
+                blocks: int, block: int,
+                lstm_hybrid: bool = False) -> jax.Array:
     """All-layer full-neighborhood propagation: [N, D] -> [N, out_size]."""
     n, p = neighbors.shape
     npad = blocks * block
@@ -158,17 +162,22 @@ def _full_embed(params: dict, cfg: GraphSageConfig, feats: jax.Array,
     h = feats.astype(jnp.dtype(cfg.compute_dtype))
     for layer in range(cfg.num_layers):
         with jax.named_scope(f"infer_layer_{layer + 1}"):
+            # cached-LSTM hybrid (train/cached.py): layer 1 aggregates
+            # with MEAN (its LSTM cell is never trained), layers 2..L run
+            # the live cells — serving must match the trained topology
+            agg = ("MEAN" if lstm_hybrid and layer == 0 else None)
             # _layer_full returns blocks·block rows; only the first n are
             # real nodes (idx values always index < n)
             h = _layer_full(cfg, params, layer, h, idx, mask,
-                            blocks, block)[:n]
+                            blocks, block, agg_func=agg)[:n]
     return h
 
 
 def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
                           feats, pad: PaddedAdjacency,
                           block: int | None = None,
-                          fetch: bool = True):
+                          fetch: bool = True,
+                          lstm_hybrid: bool = False):
     """Exact deterministic embeddings for every node: [N, out_size] f32.
 
     ``pad`` should be the full (uncapped) adjacency for exact semantics; a
@@ -181,6 +190,10 @@ def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
     call re-uploads the tables (InferenceSession pins them once).
     ``fetch=False`` returns the on-device [N, out_size] array instead of
     pulling it to host f32 (benchmarks, device-side consumers).
+    ``lstm_hybrid=True`` serves a cached-LSTM-hybrid model (train/cached.py
+    ``--lstm_hybrid``): MEAN aggregation at layer 1, live LSTM cells above
+    — the layer-0 LSTM cell of such a model is never trained and must not
+    be used.
     """
     n = pad.num_nodes
     feats = jnp.asarray(feats)
@@ -190,7 +203,8 @@ def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
                         jnp.dtype(cfg.compute_dtype).itemsize, block)
     blocks = -(-n // block)
     out = _full_embed(params, cfg, feats, jnp.asarray(pad.neighbors),
-                      jnp.asarray(pad.degrees), blocks, block)
+                      jnp.asarray(pad.degrees), blocks, block,
+                      lstm_hybrid=lstm_hybrid)
     if not fetch:
         return out
     return np.asarray(out, dtype=np.float32)
@@ -351,9 +365,11 @@ class InferenceSession:
 
     def __init__(self, params: dict, mcfg: GraphSageConfig,
                  feats, pad: PaddedAdjacency,
-                 block: int | None = None) -> None:
+                 block: int | None = None,
+                 lstm_hybrid: bool = False) -> None:
         self.params = params
         self.mcfg = mcfg
+        self.lstm_hybrid = lstm_hybrid
         # pin the graph on device once: serving calls must not re-upload
         # the feature/adjacency tables (dominant cost on remote backends)
         self.feats = jax.device_put(jnp.asarray(feats))
@@ -367,15 +383,16 @@ class InferenceSession:
     @classmethod
     def from_bundle(cls, path: str, feats, pad: PaddedAdjacency,
                     block: int | None = None) -> "InferenceSession":
-        params, mcfg, _ncls, _meta = load_bundle(path)
-        return cls(params, mcfg, feats, pad, block)
+        params, mcfg, _ncls, meta = load_bundle(path)
+        return cls(params, mcfg, feats, pad, block,
+                   lstm_hybrid=bool(meta.get("lstm_hybrid", False)))
 
     def embeddings(self) -> np.ndarray:
         """[N, out_size] f32 table, computed once and cached."""
         if self._emb is None:
             self._emb = full_graph_embeddings(
                 self.params["sage"], self.mcfg, self.feats, self.pad,
-                self.block)
+                self.block, lstm_hybrid=self.lstm_hybrid)
         return self._emb
 
     def embed(self, nodes) -> np.ndarray:

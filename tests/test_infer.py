@@ -6,6 +6,8 @@ the sample = the whole adjacency row): per node, MEAN/MAX over neighbors
 (minus self unless gcn, self unioned once in gcn), concat self, W, relu.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 import jax
@@ -107,6 +109,49 @@ def test_sharded_inference_matches_single_device(agg, gcn):
     want = full_graph_embeddings(params, cfg, feats, pad)
     got = full_graph_embeddings_sharded(params, cfg, feats, pad)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_lstm_hybrid_inference_topology(tmp_path):
+    """A cached-LSTM-hybrid model must serve with MEAN at layer 1 and the
+    live cell above — NOT the all-LSTM forward (whose layer-0 cell the
+    hybrid never trains).  lstm_hybrid=True must equal a manual
+    MEAN-layer-1 + LSTM-layer-2 propagation and differ from all-LSTM."""
+    g, feats = _random_graph(n=31, extra_edges=70, seed=17)
+    cfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8,
+                          agg_func="LSTM")
+    params = init_graphsage(jax.random.PRNGKey(5), cfg)
+    pad = g.to_padded()
+    hybrid = full_graph_embeddings(params, cfg, feats, pad,
+                                   lstm_hybrid=True)
+    all_lstm = full_graph_embeddings(params, cfg, feats, pad)
+    assert not np.allclose(hybrid, all_lstm)
+    # independent construction: numpy-MEAN layer 1 (oracle), then the live
+    # LSTM cell + SageLayer at layer 2 via the model ops directly
+    from graphsage_tpu.models.layers import sage_layer_apply
+    from graphsage_tpu.models.lstm_agg import lstm_aggregate
+    cfg_mean = dataclasses.replace(cfg, agg_func="MEAN")
+    h1 = _numpy_oracle({"layers": [jax.device_get(params["layers"][0])]},
+                       dataclasses.replace(cfg_mean, num_layers=1),
+                       feats, g).astype(np.float32)
+    n, p = pad.neighbors.shape
+    mask = ((np.arange(p)[None] < pad.degrees[:, None])
+            & (pad.neighbors != np.arange(n)[:, None])).astype(np.float32)
+    agg2 = lstm_aggregate(params["agg"][1], jnp.asarray(h1),
+                          jnp.asarray(pad.neighbors), jnp.asarray(mask))
+    want = np.asarray(sage_layer_apply(params["layers"][1],
+                                       jnp.asarray(h1), agg2), np.float32)
+    np.testing.assert_allclose(hybrid, want, rtol=2e-4, atol=2e-5)
+
+    # bundle round-trip: CLI meta flag drives from_bundle
+    from graphsage_tpu.models.layers import init_classifier
+    full = {"sage": params, "clf": init_classifier(jax.random.PRNGKey(6),
+                                                   8, 3)}
+    path = str(tmp_path / "hb")
+    export_bundle(path, full, cfg, 3, meta={"lstm_hybrid": True})
+    sess = InferenceSession.from_bundle(path, feats, pad)
+    assert sess.lstm_hybrid
+    np.testing.assert_allclose(sess.embeddings(), hybrid,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_export_load_roundtrip_and_session(tmp_path):
