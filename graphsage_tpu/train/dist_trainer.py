@@ -151,10 +151,13 @@ class DistTrainer:
                                   valid=valid)
             return db, None
         from graphsage_tpu.train.distributed import build_dist_unsup_batch
+        valid = (np.arange(per_step) < real).reshape(self.n_dev,
+                                                     tcfg.b_loc)
         return build_dist_unsup_batch(
             self.ds.graph, self.ds.labels, self.pair_sampler,
             batch, self.mcfg.num_layers, tcfg.fanout,
-            num_neg=tcfg.num_neg, seed=int(self.rng.randint(2**31)))
+            num_neg=tcfg.num_neg, seed=int(self.rng.randint(2**31)),
+            target_valid=valid)
 
     def train_epoch(self) -> float:
         """One epoch over the mesh.  Host batch building (frontiers + halo

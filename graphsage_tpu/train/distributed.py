@@ -35,6 +35,7 @@ from graphsage_tpu.losses import supervised_nll
 from graphsage_tpu.models import GraphSageConfig, classifier_apply
 from graphsage_tpu.models.graphsage import Frontier, graphsage_apply
 from graphsage_tpu.parallel.halo import halo_gather_local, plan_halo
+from graphsage_tpu.train.dense import cast_compute
 from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
 
 
@@ -211,7 +212,12 @@ def make_dist_sup_step(mcfg: GraphSageConfig, mesh: Mesh, lr: float = 0.7,
                      for i, m, s in zip(f_idx, f_mask, f_self)]
 
         def loss_fn(p):
-            embs = _encode_local(p, mcfg, use_pre, axis, feats_local,
+            # mixed precision: cast INSIDE the differentiated fn (same
+            # seam as the dense/cached pipelines) so master weights and
+            # gradients stay f32 while compute runs in mcfg.compute_dtype
+            p = cast_compute(p, mcfg)
+            embs = _encode_local(p, mcfg, use_pre, axis,
+                                 cast_compute(feats_local, mcfg),
                                  requests, addr_owner, addr_slot,
                                  addr_is_local, addr_local, frontiers)
             logp = classifier_apply(p["clf"], embs)
@@ -258,7 +264,8 @@ def build_dist_unsup_batch(graph: CSRGraph, labels: np.ndarray,
                            pair_sampler, batch_per_dev: np.ndarray,
                            num_layers: int, fanout: int, num_neg: int,
                            seed: int, gcn: bool = False,
-                           cap: int | None = None):
+                           cap: int | None = None,
+                           target_valid: np.ndarray | None = None):
     """Unsup/plus_unsup distributed batch: per device, extend the batch
     with walk-positive / BFS-negative pair endpoints (reference
     src/models.py:135-148 — done for every learn method), then build the
@@ -286,6 +293,12 @@ def build_dist_unsup_batch(graph: CSRGraph, labels: np.ndarray,
         for k in ("target_rows", "pos_p", "pos_q", "pos_mask",
                   "neg_p", "neg_q", "neg_mask", "node_valid")
     }
+    if target_valid is not None:
+        # tail steps padded with np.resize repeats: zero the repeated
+        # targets' node_valid so each real node's pair loss counts once
+        # (the sup path's `valid` row mask, applied to the pair objective)
+        pairs["node_valid"] = (
+            pairs["node_valid"] * target_valid.astype(np.float32))
     return db, pairs
 
 
@@ -324,7 +337,12 @@ def make_dist_unsup_step(mcfg: GraphSageConfig, mesh: Mesh,
                  "neg_mask": neg_mask[0], "node_valid": node_valid[0]}
 
         def loss_fn(p):
-            embs = _encode_local(p, mcfg, use_pre, axis, feats_local,
+            # mixed precision: cast INSIDE the differentiated fn (same
+            # seam as the dense/cached pipelines) so master weights and
+            # gradients stay f32 while compute runs in mcfg.compute_dtype
+            p = cast_compute(p, mcfg)
+            embs = _encode_local(p, mcfg, use_pre, axis,
+                                 cast_compute(feats_local, mcfg),
                                  requests, addr_owner, addr_slot,
                                  addr_is_local, addr_local, frontiers)
             loss = unsup_loss_from_pairbatch(embs, pairs, unsup_loss,

@@ -356,3 +356,65 @@ def test_dist_trainer_unsup_and_plus_unsup():
     best2 = tr2.fit()
     # unsup + tiny classifier fit: just has to be finite and above chance/2
     assert np.isfinite(best2) and best2 > 0.15, (best2, tr2.history)
+
+
+def test_distributed_step_honors_compute_dtype(setup):
+    """--compute_dtype bfloat16 must actually run the dist step in bf16
+    (regression: the halo pipeline silently ignored it).  Masters stay
+    f32; the bf16 loss tracks the f32 loss closely."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from graphsage_tpu.parallel.halo import shard_features
+
+    ds, mesh, mcfg, params, n_dev = setup
+    rng = np.random.RandomState(9)
+    batch = ds.train_nodes[rng.choice(len(ds.train_nodes), (n_dev, 5))]
+    db = build_dist_batch(ds.graph, ds.labels, batch, mcfg.num_layers,
+                          fanout=3, seed=5)
+    feats_sh = jax.device_put(
+        jnp.asarray(shard_features(ds.features, n_dev)),
+        NamedSharding(mesh, P("data", None)))
+    params_repl = jax.device_put(params, NamedSharding(mesh, P()))
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = dataclasses.replace(mcfg, compute_dtype=dtype)
+        step = make_dist_sup_step(cfg, mesh, lr=0.4, clip=5.0)
+        new_params, loss = step(params_repl, feats_sh,
+                                *dist_batch_to_device(db, mesh))
+        losses[dtype] = float(loss)
+        # master weights stay f32 regardless of compute dtype
+        assert all(l.dtype == np.float32 for l in
+                   jax.tree_util.tree_leaves(jax.device_get(new_params)))
+    assert np.isfinite(list(losses.values())).all()
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * max(
+        1.0, abs(losses["float32"])), losses
+
+
+def test_unsup_batch_target_valid_masks_tail_repeats(setup):
+    """np.resize tail repeats must not get pair-loss weight: target_valid
+    zeroes node_valid for padded target positions (regression — the sup
+    path masked its NLL rows but the unsup pair objective did not)."""
+    from graphsage_tpu.sampler import PairSampler
+    from graphsage_tpu.train.distributed import build_dist_unsup_batch
+
+    ds, mesh, mcfg, params, n_dev = setup
+    ps = PairSampler(ds.graph, ds.train_nodes)
+    b_loc = 4
+    real = n_dev * b_loc - 5  # tail: last 5 positions are repeats
+    chunk = np.resize(ds.train_nodes[:real], n_dev * b_loc)
+    batch = chunk.reshape(n_dev, b_loc)
+    valid = (np.arange(n_dev * b_loc) < real).reshape(n_dev, b_loc)
+    _, pairs_masked = build_dist_unsup_batch(
+        ds.graph, ds.labels, ps, batch, mcfg.num_layers, fanout=3,
+        num_neg=6, seed=3, target_valid=valid)
+    _, pairs_raw = build_dist_unsup_batch(
+        ds.graph, ds.labels, ps, batch, mcfg.num_layers, fanout=3,
+        num_neg=6, seed=3)
+    nv_m, nv_r = pairs_masked["node_valid"], pairs_raw["node_valid"]
+    assert nv_m.shape == nv_r.shape == (n_dev, b_loc)
+    # repeats zeroed, real positions untouched
+    np.testing.assert_array_equal(nv_m[valid], nv_r[valid])
+    assert (nv_m[~valid] == 0).all()
+    assert nv_r[~valid].sum() > 0  # the raw path did weight the repeats
