@@ -153,6 +153,32 @@ class CachedTrainer(Trainer):
                             jnp.asarray(padded), k_f)
         return np.asarray(embs).astype(np.float32)[:len(nodes)]
 
+    def all_embeddings(self) -> np.ndarray:
+        """Full-graph inference with ONE fresh leaf-cache draw per call.
+
+        Each node is embedded exactly once, so its sampling marginal is
+        identical to the base-class per-batch path — but the whole-graph
+        refresh runs once instead of ceil(N/emb_b_sz) times (the refresh
+        is O(N·fanout·D); per-batch refreshing repeated it ~40x on
+        Pubmed).  Layer-2.. sampling stays fresh per batch."""
+        n = self.ds.num_nodes
+        b = self.tcfg.emb_b_sz
+        self._key, k_r = jax.random.split(self._key)
+        cache_feats, cnt = self._refresh_fn(k_r, self.feats,
+                                            self.neighbors, self.degrees)
+        out = np.zeros((n, self.mcfg.out_size), np.float32)
+        for lo in range(0, n, b):
+            nodes = np.arange(lo, min(lo + b, n))
+            pad = _bucket(len(nodes))
+            padded = np.zeros(pad, np.int32)
+            padded[:len(nodes)] = nodes
+            self._key, k_f = jax.random.split(self._key)
+            embs = self._fwd_fn({"sage": self.params["sage"]}, self.feats,
+                                cache_feats, cnt, self.neighbors,
+                                self.degrees, jnp.asarray(padded), k_f)
+            out[nodes] = np.asarray(embs).astype(np.float32)[:len(nodes)]
+        return out
+
     # --------------------------------------------------------------- train
     def train_epoch(self) -> float:
         tcfg = self.tcfg
