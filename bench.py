@@ -90,11 +90,10 @@ def matmul_flops_per_step(pipeline: str, n_nodes: int, feat_dim: int,
 
 
 def edges_per_batch(batch_size: int, num_layers: int, fanout: int) -> int:
-    total, width = 0, batch_size
-    for _ in range(num_layers):
-        total += width * fanout
-        width *= fanout + 1
-    return total
+    """Single source of truth lives in train/dense.py (deferred import:
+    bench startup stays jax-free until a row actually runs)."""
+    from graphsage_tpu.train.dense import edges_per_batch as _epb
+    return _epb(batch_size, num_layers, fanout)
 
 
 def _row_from_dt(name, pipeline, dtype, batch, ds, pad, dt, fanout, hidden,

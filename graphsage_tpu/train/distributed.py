@@ -275,6 +275,14 @@ def build_dist_unsup_batch(graph: CSRGraph, labels: np.ndarray,
     tensors (the PairBatch layout; rows index each device's extended
     batch).  Devices' extended batches are re-padded to one common width
     so they stack; row_mask marks real rows.
+
+    ``target_valid`` ([n_dev, b_loc] bool) marks which target positions
+    are real: tail steps wrap-padded with repeats pass it so repeated
+    targets' pair terms are zeroed (node_valid).  NB the plus_unsup NLL
+    dedups repeats within a device (unique_nodes), but a node whose
+    wrap-repeat lands on a DIFFERENT device still contributes one NLL row
+    per device on that single tail step — same weighting the reference's
+    extended batches give nodes shared between pair endpoints.
     """
     n_dev, _ = batch_per_dev.shape
     rng = np.random.RandomState(seed & 0x7fffffff)
