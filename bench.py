@@ -151,16 +151,25 @@ def _setup(ds, pad, dtype, batch, steps, hidden, agg="MEAN"):
     return mcfg, params, feats, neighbors, degrees, batches, labels
 
 
+TIMED_REPS = 3
+
+
 def _timed(epoch_fn, args, steps):
-    """Warmup-compile then time one fetched call; NB value fetch —
+    """Warmup-compile then time TIMED_REPS fetched calls and report the
+    median (the tunnel shows ±10-15% run-to-run variance, VERDICT r02 weak
+    #7 — a single shot compares adjacent rows at a precision the
+    methodology doesn't support).  NB value fetch per rep —
     block_until_ready alone has been observed not to block on experimental
-    remote TPU backends."""
+    remote TPU backends.  Returns (median_dt, [all rep dts])."""
     _, losses = epoch_fn(*args)
     np.asarray(losses)
-    t0 = time.perf_counter()
-    _, losses = epoch_fn(*args)
-    np.asarray(losses)
-    return (time.perf_counter() - t0) / steps
+    reps = []
+    for _ in range(TIMED_REPS):
+        t0 = time.perf_counter()
+        _, losses = epoch_fn(*args)
+        np.asarray(losses)
+        reps.append((time.perf_counter() - t0) / steps)
+    return float(np.median(reps)), reps
 
 
 def run_row(name, ds, pad, pipeline, batch, dtype, fanout=10, hidden=128,
@@ -176,11 +185,14 @@ def run_row(name, ds, pad, pipeline, batch, dtype, fanout=10, hidden=128,
 
     mk = make_cached_sup_epoch if pipeline == "cached" else make_dense_sup_epoch
     epoch_fn = jax.jit(mk(mcfg, fanout=fanout))
-    dt = _timed(epoch_fn,
-                (params, feats, neighbors, degrees, batches, labels, key),
-                steps)
-    return _row_from_dt(name, pipeline, dtype, batch, ds, pad, dt, fanout,
-                        hidden, agg, note)
+    dt, reps = _timed(epoch_fn,
+                      (params, feats, neighbors, degrees, batches, labels,
+                       key),
+                      steps)
+    row = _row_from_dt(name, pipeline, dtype, batch, ds, pad, dt, fanout,
+                       hidden, agg, note)
+    row["rep_step_ms"] = [round(r * 1000, 3) for r in reps]
+    return row
 
 
 def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
@@ -230,10 +242,10 @@ def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
                                            (batches, labels))
         return params, losses
 
-    dt = _timed(epoch,
-                (params, feats, neighbors, degrees, batches, labels,
-                 jax.random.PRNGKey(824)),
-                steps)
+    dt, reps = _timed(epoch,
+                      (params, feats, neighbors, degrees, batches, labels,
+                       jax.random.PRNGKey(824)),
+                      steps)
     row = _row_from_dt(name, "cached", dtype, batch, ds, pad, dt, fanout,
                        hidden, "MEAN",
                        note=(f"unsup normal loss each step: SDDMM score "
@@ -241,34 +253,73 @@ def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
                              f"loss; vs_reference uses the MEAN sup "
                              f"baseline (see module docstring)"))
     row["learn_method"] = "unsup"
+    row["rep_step_ms"] = [round(r * 1000, 3) for r in reps]
     return row
 
 
+ROW_RETRIES = 3
+HEADLINE_ROW = "powerlaw100k_b65536_cached_bfloat16"
+
+
+def _attempt_row(rows, fn, *args, **kwargs):
+    """Run one bench row with up to ROW_RETRIES attempts (VERDICT r02 weak
+    #1: the remote backend has been observed to drop state with
+    FAILED_PRECONDITION mid-suite — each retry rebuilds the jitted program
+    from scratch, which is all the state a row holds).  A row that fails
+    every attempt is recorded as an error entry and the suite continues;
+    every completed row is streamed to BENCH_DETAIL.json immediately so a
+    later crash cannot lose earlier rows."""
+    import sys
+
+    last_err = None
+    for attempt in range(ROW_RETRIES):
+        try:
+            row = fn(*args, **kwargs)
+            rows.append(row)
+            print_row(row)
+            _flush(rows)
+            return row
+        except Exception as e:  # noqa: BLE001 — suite must survive any row
+            last_err = e
+            print(f"# row attempt {attempt + 1}/{ROW_RETRIES} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            time.sleep(2.0 * (attempt + 1))
+    name = kwargs.get("name") or (args[0] if args else "<unknown>")
+    rows.append({"name": name, "error":
+                 f"{type(last_err).__name__}: {last_err}"})
+    _flush(rows)
+    return None
+
+
+def _flush(rows):
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 def main() -> None:
-    from graphsage_tpu.data import load_cora, synthetic_power_law
+    from graphsage_tpu.data import load_cora, load_pubmed, synthetic_power_law
 
     rows = []
     cora = load_cora()
     cora_pad = cora.graph.to_padded().subsample(32, np.random.RandomState(99))
-    rows.append(run_row(
+    _attempt_row(
+        rows, run_row,
         "cora_b512_dense_f32", cora, cora_pad, "dense", 512, "float32",
         steps=50,
         note=("latency-bound: the 2708-node graph cannot load the chip; "
               "measures dispatch + small-kernel latency. Neighbor cache "
               "width 32, refreshed once per 50-step window (production "
               "refreshes per epoch; subset composition keeps per-draw "
-              "sampling exactly uniform either way)")))
-    print_row(rows[-1])
+              "sampling exactly uniform either way)"))
 
-    from graphsage_tpu.data import load_pubmed
     pubmed = load_pubmed()
     pm_pad = pubmed.graph.to_padded().subsample(32,
                                                 np.random.RandomState(99))
-    rows.append(run_row(
+    _attempt_row(
+        rows, run_row,
         "pubmed_b8192_cached_bfloat16", pubmed, pm_pad, "cached", 8192,
         "bfloat16", steps=20,
-        note="real Pubmed citation graph (19717 nodes / 500 feats)"))
-    print_row(rows[-1])
+        note="real Pubmed citation graph (19717 nodes / 500 feats)")
 
     pl = synthetic_power_law(100_000, 1_000_000, num_feats=602,
                              num_classes=16, seed=0)
@@ -286,26 +337,38 @@ def main() -> None:
                 "live LSTM cells at layer 2; reference has no LSTM — "
                 "vs_reference uses the MEAN sup baseline"
                 if agg == "LSTM" else None)
-        rows.append(run_row(
+        _attempt_row(
+            rows, run_row,
             f"powerlaw100k_b{batch}_{pipeline}_{dtype}{suffix}", pl, pl_pad,
-            pipeline, batch, dtype, agg=agg, note=note))
-        print_row(rows[-1])
+            pipeline, batch, dtype, agg=agg, note=note)
 
-    rows.append(run_unsup_row("powerlaw100k_b32768_cached_bfloat16_unsup",
-                              pl, pl_pad, 32768, "bfloat16"))
-    print_row(rows[-1])
+    _attempt_row(rows, run_unsup_row,
+                 "powerlaw100k_b32768_cached_bfloat16_unsup",
+                 pl, pl_pad, 32768, "bfloat16")
 
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(rows, f, indent=1)
+    _flush(rows)
 
-    head = next(r for r in rows
-                if r["name"] == "powerlaw100k_b65536_cached_bfloat16")
+    # ALWAYS print the summary line from whatever completed: prefer the
+    # headline row, else the best completed edges/s row (the driver records
+    # this JSON — an empty run must still say so rather than crash).
+    done = [r for r in rows if "edges_per_sec" in r]
+    head = next((r for r in done if r["name"] == HEADLINE_ROW),
+                max(done, key=lambda r: r["edges_per_sec"],
+                    default=None))
+    if head is None:
+        print(json.dumps({"metric": "edges_per_sec_per_chip", "value": 0,
+                          "unit": "edges/s", "vs_baseline": 0,
+                          "error": "no bench row completed"}))
+        return
     print(json.dumps({
         "metric": "edges_per_sec_per_chip",
         "value": head["edges_per_sec"],
         "unit": "edges/s",
         "vs_baseline": round(head["edges_per_sec"]
                              / REFERENCE_EDGES_PER_SEC["MEAN"], 3),
+        "row": head["name"],
+        "rows_completed": len(done),
+        "rows_failed": len(rows) - len(done),
     }))
 
 

@@ -132,13 +132,15 @@ def main(argv=None) -> int:
     # best-val params snapshot: checkpoint_fn fires exactly on val
     # improvement, so the last snapshot is the model that achieved
     # max_vali_f1 — what --export ships (final-epoch params can be worse)
-    best = {"params": None}
+    best = {"params": None, "epoch": None, "test_f1": None}
 
     def checkpoint_fn(trainer, test_f1):
         import jax as _jax
 
         from graphsage_tpu.utils.checkpoint import save_checkpoint
         best["params"] = _jax.device_get(trainer.params)
+        best["epoch"] = trainer.epoch
+        best["test_f1"] = float(test_f1)
         path = os.path.join(
             args.checkpoint_dir,
             f"model_best_{args.name}_ep{trainer.epoch}_{test_f1:.4f}")
@@ -162,7 +164,7 @@ def main(argv=None) -> int:
             b_loc=max(1, args.b_sz // n_dev), epochs=args.epochs,
             lr=args.lr, fanout=args.fanout, seed=args.seed,
             clf_epochs=args.clf_epochs, verbose=not args.quiet)
-        trainer = DistTrainer(ds, mcfg, dcfg)
+        trainer = DistTrainer(ds, mcfg, dcfg, checkpoint_fn=checkpoint_fn)
         if args.resume:
             print("NOTE: --resume is not supported on the dist pipeline; "
                   "ignoring")
@@ -208,8 +210,11 @@ def main(argv=None) -> int:
     if args.export:
         from graphsage_tpu.infer import export_bundle
         export_params = best["params"]
-        meta = {"dataset": ds.name,
+        # run metadata in the artifact (the reference encodes
+        # name/epoch/testF1 in its checkpoint path, src/utils.py:52)
+        meta = {"dataset": ds.name, "name": args.name,
                 "best_val_f1": float(trainer.max_vali_f1),
+                "epoch": best["epoch"], "test_f1": best["test_f1"],
                 "params": "best-val"}
         if (args.lstm_hybrid and args.agg_func == "LSTM"
                 and args.pipeline in ("cached", "cached_dist")):

@@ -212,8 +212,8 @@ def full_graph_embeddings(params: dict, cfg: GraphSageConfig,
 
 def full_graph_embeddings_sharded(params: dict, cfg: GraphSageConfig,
                                   feats, pad: PaddedAdjacency,
-                                  mesh=None, axis: str = "data"
-                                  ) -> np.ndarray:
+                                  mesh=None, axis: str = "data",
+                                  lstm_hybrid: bool = False) -> np.ndarray:
     """Multi-device deterministic inference: node rows sharded over a mesh.
 
     Per layer the per-device program is transform-locally-then-all_gather:
@@ -225,6 +225,10 @@ def full_graph_embeddings_sharded(params: dict, cfg: GraphSageConfig,
     instead.  Math is identical to :func:`full_graph_embeddings` up to
     reassociation; parity is tested on the virtual 8-device CPU mesh
     (tests/test_infer.py).
+
+    ``lstm_hybrid`` mirrors :func:`full_graph_embeddings`: a cached-LSTM
+    hybrid model's layer-1 LSTM cell is never trained, so layer 1 must run
+    the MEAN path (serving the trained topology).
     """
     from jax import shard_map
     from jax.sharding import Mesh, NamedSharding
@@ -258,9 +262,11 @@ def full_graph_embeddings_sharded(params: dict, cfg: GraphSageConfig,
 
     def device_program(params, h_loc, idx_loc, mask_loc):
         for layer in range(cfg.num_layers):
+            agg_func = ("MEAN" if lstm_hybrid and layer == 0
+                        else cfg.agg_func)
             w = params["layers"][layer]["weight"]
             hdim = w.shape[0]
-            if cfg.agg_func == "MEAN":
+            if agg_func == "MEAN":
                 din = h_loc.shape[1]
                 if cfg.gcn:
                     z_loc = jnp.dot(h_loc, w.T,
@@ -282,7 +288,7 @@ def full_graph_embeddings_sharded(params: dict, cfg: GraphSageConfig,
                                         ).astype(z.dtype)
             else:
                 h_full = jax.lax.all_gather(h_loc, axis, axis=0, tiled=True)
-                if cfg.agg_func == "MAX":
+                if agg_func == "MAX":
                     agg = max_aggregate(h_full, idx_loc, mask_loc)
                 else:
                     agg = lstm_aggregate(params["agg"][layer], h_full,
@@ -339,6 +345,11 @@ def load_bundle(path: str) -> tuple[dict, GraphSageConfig, int, dict]:
     path = os.path.abspath(path)
     with open(os.path.join(path, _BUNDLE_META)) as f:
         record = json.load(f)
+    version = record.get("format_version")
+    if version != 1:
+        raise ValueError(
+            f"bundle at {path} has format_version={version!r}; this "
+            f"build reads version 1 — re-export the bundle or upgrade")
     mcfg = GraphSageConfig(**record["model"])
     num_classes = int(record["num_classes"])
     # abstract target rebuilt host-side from the config (shape/dtype only)

@@ -13,11 +13,11 @@ Reference semantics (src/models.py:45-186):
   learn method (src/models.py:135-148, src/utils.py:149).
 
 TPU-first redesign: sampling stays on host (it is graph-topology-bound and
-amortized — closures are bit-packed and cached per node so each train node's
-BFS runs once per process, not once per epoch as in the reference), but the
-output is a fixed-shape `PairBatch` of index tensors into the padded
-extended batch, ready to feed a jit'd loss with zero recompilation across
-steps (union sizes are bucketed).
+amortized — each node's BFS far list is cached under an LRU byte budget so
+a train node's BFS typically runs once per process, not once per epoch as
+in the reference), but the output is a fixed-shape `PairBatch` of index
+tensors into the padded extended batch, ready to feed a jit'd loss with
+zero recompilation across steps (union sizes are bucketed).
 """
 
 from __future__ import annotations
@@ -54,11 +54,14 @@ class PairSampler:
     def __init__(self, graph: CSRGraph, train_nodes: np.ndarray,
                  q: int = 10, n_walks: int = 6, walk_len: int = 1,
                  n_walk_len: int = 5, margin: float = 3.0,
-                 negative_mode: str = "auto"):
+                 negative_mode: str = "auto",
+                 far_cache_bytes: int = 256 << 20):
         """negative_mode:
         - "exact": reference semantics — negatives are train nodes outside
-          the ≤n_walk_len-hop BFS closure (src/models.py:153-167).  Costs
-          one BFS + an N-bit mask per distinct target node (cached).
+          the ≤n_walk_len-hop BFS neighborhood (src/models.py:153-167).
+          Costs one BFS per distinct target; the resulting far list is
+          cached under ``far_cache_bytes`` (LRU, default 256 MB — the
+          documented worst-case host RAM of the cache).
         - "uniform": negatives drawn uniformly from train nodes ≠ target.
           O(1) per node; the standard large-graph approximation (on a
           power-law graph the 5-hop closure approaches the whole component,
@@ -73,49 +76,65 @@ class PairSampler:
         self.margin = margin
         self.train_nodes = np.asarray(train_nodes, dtype=np.int64)
         self.train_set = set(self.train_nodes.tolist())
-        self._closure_cache: dict[int, np.ndarray] = {}
+        # LRU far-list cache: node -> int32 array of train nodes outside the
+        # node's ≤n_walk_len-hop closure.  The bitmask itself is never
+        # cached (round-2 weak #4: N/8 bytes x 100k train nodes ≈ 2.5 GB
+        # host RAM); far lists are tiny on connected graphs (the 5-hop
+        # closure of a citation/power-law graph approaches the whole
+        # component) and the total is hard-capped by byte budget with LRU
+        # eviction either way.  Worst case held in memory = the budget.
+        from collections import OrderedDict
+        self._far_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._far_cache_bytes = 0
+        self.far_cache_budget = int(far_cache_bytes)
         if negative_mode == "auto":
             negative_mode = ("exact" if graph.num_nodes <= 200_000
                              else "uniform")
         assert negative_mode in ("exact", "uniform"), negative_mode
         self.negative_mode = negative_mode
 
-    # ---- BFS closure (reference src/models.py:154-162), bit-packed+cached
-    def _closure_bits(self, node: int) -> np.ndarray:
-        cached = self._closure_cache.get(node)
+    # ---- BFS closure (reference src/models.py:154-162) -> cached far list
+    def _far_nodes(self, node: int) -> np.ndarray:
+        cached = self._far_cache.get(node)
         if cached is not None:
+            self._far_cache.move_to_end(node)
             return cached
         g = self.graph
+        bits = None
         try:
             from graphsage_tpu.native import bfs_closure_native
             bits = bfs_closure_native(g.indptr, g.indices, g.num_nodes,
                                       node, self.n_walk_len)
         except Exception:
-            bits = None
+            pass
         if bits is not None:
-            self._closure_cache[node] = bits
-            return bits
-        n = g.num_nodes
-        visited = np.zeros(n, dtype=bool)
-        visited[node] = True
-        frontier = np.array([node], dtype=np.int64)
-        for _ in range(self.n_walk_len):
-            if frontier.size == 0:
-                break
-            starts = g.indptr[frontier]
-            ends = g.indptr[frontier + 1]
-            total = int((ends - starts).sum())
-            if total == 0:
-                break
-            nxt = g.indices[np.concatenate(
-                [np.arange(s, e) for s, e in zip(starts, ends)])]
-            nxt = np.unique(nxt)
-            new = nxt[~visited[nxt]]
-            visited[new] = True
-            frontier = new.astype(np.int64)
-        bits = np.packbits(visited)
-        self._closure_cache[node] = bits
-        return bits
+            close = np.unpackbits(bits, count=g.num_nodes).astype(bool)
+        else:
+            n = g.num_nodes
+            close = np.zeros(n, dtype=bool)
+            close[node] = True
+            frontier = np.array([node], dtype=np.int64)
+            for _ in range(self.n_walk_len):
+                if frontier.size == 0:
+                    break
+                starts = g.indptr[frontier]
+                ends = g.indptr[frontier + 1]
+                if int((ends - starts).sum()) == 0:
+                    break
+                nxt = g.indices[np.concatenate(
+                    [np.arange(s, e) for s, e in zip(starts, ends)])]
+                nxt = np.unique(nxt)
+                new = nxt[~close[nxt]]
+                close[new] = True
+                frontier = new.astype(np.int64)
+        far = self.train_nodes[~close[self.train_nodes]].astype(np.int32)
+        self._far_cache[node] = far
+        self._far_cache_bytes += far.nbytes
+        while (self._far_cache_bytes > self.far_cache_budget
+               and len(self._far_cache) > 1):
+            _, evicted = self._far_cache.popitem(last=False)
+            self._far_cache_bytes -= evicted.nbytes
+        return far
 
     def negatives(self, node: int, num_neg: int,
                   rng: np.random.RandomState) -> np.ndarray:
@@ -131,9 +150,7 @@ class PairSampler:
             picks = rng.choice(cand, size=draw, replace=False)
             picks = picks[~np.isin(picks, bad)][:num_neg]
             return picks
-        close = np.unpackbits(self._closure_bits(node),
-                              count=self.graph.num_nodes).astype(bool)
-        far = self.train_nodes[~close[self.train_nodes]]
+        far = self._far_nodes(node)
         if num_neg < len(far):
             return rng.choice(far, size=num_neg, replace=False)
         return far

@@ -89,7 +89,12 @@ class DistTrainConfig:
 
 class DistTrainer:
     def __init__(self, dataset: Dataset, mcfg: GraphSageConfig,
-                 tcfg: DistTrainConfig, mesh: Mesh | None = None):
+                 tcfg: DistTrainConfig, mesh: Mesh | None = None,
+                 checkpoint_fn=None):
+        """``checkpoint_fn(trainer, test_f1)`` fires on each val-F1
+        improvement (same hook protocol as Trainer — reference best-val
+        checkpoint semantics, src/utils.py:37-52)."""
+        self.checkpoint_fn = checkpoint_fn
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
         self.mesh = mesh
@@ -240,6 +245,8 @@ class DistTrainer:
             entry["test_f1"] = micro_f1(self.ds.labels[test], pred)
             if self.tcfg.verbose:
                 print(f"Test F1: {entry['test_f1']:.4f}")
+            if self.checkpoint_fn is not None:
+                self.checkpoint_fn(self, entry["test_f1"])
         self.history.append(entry)
         return self.max_vali_f1
 
