@@ -83,6 +83,22 @@ class CachedDistTrainer(CachedTrainer):
                 learn_method=tcfg.learn_method,
                 q=self.pair_sampler.q, margin=self.pair_sampler.margin)
         self._repl = NamedSharding(mesh, P())
+        self._warmed = False  # first sharded epoch runs under the watchdog
+        dist_epoch = self._dist_epoch
+
+        def guarded(*args):
+            if self._warmed:
+                return dist_epoch(*args)
+            from graphsage_tpu.utils.obs import collective_watchdog
+            with collective_watchdog(
+                    label="CachedDistTrainer first sharded epoch",
+                    mesh=self.mesh):
+                out = dist_epoch(*args)
+                jax.block_until_ready(out)
+            self._warmed = True
+            return out
+
+        self._dist_epoch = guarded
 
     # --------------------------------------------------------------- train
     def train_epoch(self) -> float:

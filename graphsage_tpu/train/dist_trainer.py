@@ -136,6 +136,22 @@ class DistTrainer:
         self.max_vali_f1 = 0.0
         self.epoch = 0
         self.history: list[dict] = []
+        self._warmed = False  # first sharded step runs under the watchdog
+
+    def _run_step(self, step_fn, *args):
+        """Run one sharded step; the FIRST one executes under the
+        collective-deadlock watchdog (utils/obs.py) so a wrong mesh on a
+        real slice produces diagnostics instead of a silent hang."""
+        if self._warmed:
+            return step_fn(*args)
+        from graphsage_tpu.utils.obs import collective_watchdog
+        with collective_watchdog(
+                label=f"{type(self).__name__} first sharded step",
+                mesh=self.mesh):
+            out = step_fn(*args)
+            jax.block_until_ready(out)
+        self._warmed = True
+        return out
 
     # ---------------------------------------------------------------- train
     def _build_step_batch(self, chunk: np.ndarray, per_step: int):
@@ -186,14 +202,14 @@ class DistTrainer:
             for db, pairs in stream:
                 if pairs is None:
                     args = dist_batch_to_device(db, self.mesh)
-                    self.params, loss = self._step(
-                        self.params, self.feats_sharded, *args)
+                    self.params, loss = self._run_step(
+                        self._step, self.params, self.feats_sharded, *args)
                 else:
                     from graphsage_tpu.train.distributed import (
                         pairs_to_device,
                     )
-                    self.params, loss = self._unsup_step(
-                        self.params, self.feats_sharded,
+                    self.params, loss = self._run_step(
+                        self._unsup_step, self.params, self.feats_sharded,
                         *dist_batch_to_device(db, self.mesh),
                         *pairs_to_device(pairs, self.mesh))
                 losses.append(loss)

@@ -1,14 +1,25 @@
-"""Configuration: HOCON-lite parser + flat dotted-key access.
+"""Configuration: HOCON parsing + flat dotted-key access.
 
 The reference uses pyhocon to parse ``src/experiments.conf``
 (reference src/main.py:46) and reads keys stringly:
 ``config['setting.num_layers']``, ``config['file_path.cora_content']``
-(src/main.py:54,58; src/dataCenter.py:15-16,55-56).  pyhocon is not in the
-baked environment, so this module implements the small HOCON subset the
-reference's config actually uses — nested ``name { ... }`` blocks,
-``key = value`` pairs, ``${path.to.key}`` substitution, comments — and
-exposes the same dotted-key lookup surface, so existing experiment files
-parse unchanged.
+(src/main.py:54,58; src/dataCenter.py:15-16,55-56).
+
+``load_config`` delegates to pyhocon when it is importable, giving full
+HOCON semantics (includes, concatenation, ``+=``).  When pyhocon is
+absent (it is not in the baked TPU environment) a **HOCON-lite** parser
+takes over.  The lite subset is exactly what the reference's shipped
+config uses:
+
+  * nested ``name { ... }`` blocks (brace on its own line or after the name)
+  * ``key = value`` / ``key : value`` pairs (string/int/float/bool scalars)
+  * ``${path.to.key}`` substitution, including chained references
+  * ``//`` and ``#`` comments
+
+Anything outside the subset — ``include`` statements, ``+=`` appends,
+array literals, multi-line values, object merging — is **rejected with a
+clear error naming the construct and the line**, never silently
+misparsed.  Install pyhocon to lift the restriction.
 """
 
 from __future__ import annotations
@@ -59,13 +70,54 @@ def _coerce(raw: str):
     return raw
 
 
+class HoconSubsetError(ValueError):
+    """A construct outside the supported HOCON-lite subset was used."""
+
+
+def _reject_unsupported(line: str, lineno: int) -> None:
+    """Fail loudly on HOCON features the lite parser does not implement."""
+    if line.startswith("include ") or line == "include":
+        raise HoconSubsetError(
+            f"line {lineno}: 'include' is full-HOCON only; install pyhocon "
+            f"or inline the included file")
+    if "+=" in line:
+        raise HoconSubsetError(
+            f"line {lineno}: '+=' append is full-HOCON only; install "
+            f"pyhocon or write the final value directly")
+    # a value starting with '[' is an array literal (possibly multi-line)
+    for sep in ("=", ":"):
+        if sep in line:
+            _, raw = line.split(sep, 1)
+            if raw.strip().startswith("["):
+                raise HoconSubsetError(
+                    f"line {lineno}: array literals are full-HOCON only; "
+                    f"install pyhocon")
+            break
+
+
+def _strip_comment(line: str) -> str:
+    """Drop a trailing ``//`` or ``#`` comment, but not inside quotes
+    (so ``url = "http://x"`` keeps its value intact)."""
+    quote = ""
+    for i, ch in enumerate(line):
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "#" or line.startswith("//", i):
+            return line[:i]
+    return line
+
+
 def parse_hocon(text: str) -> Config:
     values: dict[str, object] = {}
     stack: list[str] = []
     for lineno, line in enumerate(text.splitlines(), 1):
-        line = line.split("//")[0].split("#")[0].strip()
+        line = _strip_comment(line).strip()
         if not line:
             continue
+        _reject_unsupported(line, lineno)
         if line.endswith("{"):
             stack.append(line[:-1].strip())
             continue
@@ -74,8 +126,12 @@ def parse_hocon(text: str) -> Config:
                 raise ValueError(f"line {lineno}: unmatched '}}'")
             stack.pop()
             continue
-        if "=" in line:
-            key, raw = line.split("=", 1)
+        # HOCON accepts both '=' and ':' as key/value separators; pick
+        # whichever comes first so 'url = "http://x"' keeps its colon.
+        sep_pos = min((p for p in (line.find("="), line.find(":")) if p >= 0),
+                      default=-1)
+        if sep_pos >= 0:
+            key, raw = line[:sep_pos], line[sep_pos + 1:]
             full_key = ".".join(stack + [key.strip()])
             values[full_key] = raw.strip()
             continue
@@ -93,8 +149,10 @@ def parse_hocon(text: str) -> Config:
 
             def repl(m):
                 ref = m.group(1).strip()
-                rv = values.get(ref)
-                return "" if rv is None else str(rv)
+                if ref not in values:
+                    raise HoconSubsetError(
+                        f"unresolved substitution ${{{ref}}} in key {k!r}")
+                return str(values[ref])
 
             new = _SUBST.sub(repl, v)
             if new != v:
@@ -108,5 +166,22 @@ def parse_hocon(text: str) -> Config:
 
 
 def load_config(path: str) -> Config:
-    with open(path) as fp:
-        return parse_hocon(fp.read())
+    """Parse a HOCON file; full pyhocon when available, lite subset otherwise."""
+    try:
+        import pyhocon  # noqa: F401  (optional; not in the baked env)
+    except ImportError:
+        with open(path) as fp:
+            return parse_hocon(fp.read())
+    tree = pyhocon.ConfigFactory.parse_file(path)
+    flat: dict[str, object] = {}
+
+    def walk(node, prefix):
+        for key, val in node.items():
+            dotted = f"{prefix}.{key}" if prefix else key
+            if isinstance(val, pyhocon.ConfigTree):
+                walk(val, dotted)
+            else:
+                flat[dotted] = val
+
+    walk(tree, "")
+    return Config(flat)
