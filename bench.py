@@ -248,8 +248,11 @@ def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
                       steps)
     row = _row_from_dt(name, "cached", dtype, batch, ds, pad, dt, fanout,
                        hidden, "MEAN",
-                       note=(f"unsup normal loss each step: SDDMM score "
-                             f"block [{n_targets}x{batch}] + Q-weighted "
+                       note=(f"unsup normal loss each step: pair scores via "
+                             f"ops/sddmm.pair_loss_scores (gathered "
+                             f"formulation at this shape — {n_targets} "
+                             f"targets x {n_pos}+{n_neg} pairs over "
+                             f"U={batch}; PROFILE_UNSUP.json) + Q-weighted "
                              f"loss; vs_reference uses the MEAN sup "
                              f"baseline (see module docstring)"))
     row["learn_method"] = "unsup"

@@ -110,16 +110,18 @@ def unsup_loss_from_pairbatch(embeddings: jax.Array, pb_tensors: dict,
     (reference dispatch src/utils.py:177-181).
 
     When ``target_rows`` is present in the tensors, pair scores come from
-    the dense SDDMM block (ops/sddmm.py): one MXU matmul + scalar sampling
-    instead of per-pair gathers — exact, and the TPU-shaped formulation
-    (every pair's left endpoint is a target node).
+    ops/sddmm.py's dispatcher: the dense SDDMM block (one MXU matmul +
+    scalar sampling) for compact-pipeline batches, the gathered per-pair
+    formulation for large cached-pipeline batches where the block would
+    be >99% wasted HBM traffic (PROFILE_UNSUP.json) — both exact, chosen
+    by the byte-cost crossover in pair_loss_scores.
     """
     target_rows = pb_tensors.get("target_rows")
     if target_rows is not None:
-        from graphsage_tpu.ops.sddmm import pair_scores, sample_scores
-        scores = pair_scores(embeddings, target_rows)            # [B, U]
-        pos_cos = sample_scores(scores, pb_tensors["pos_q"])
-        neg_cos = sample_scores(scores, pb_tensors["neg_q"])
+        from graphsage_tpu.ops.sddmm import pair_loss_scores
+        pos_cos, neg_cos = pair_loss_scores(
+            embeddings, target_rows, pb_tensors["pos_q"],
+            pb_tensors["neg_q"])
         return _unsup_loss_from_cosines(
             pos_cos, pb_tensors["pos_mask"], neg_cos,
             pb_tensors["neg_mask"], pb_tensors["node_valid"], kind, q,

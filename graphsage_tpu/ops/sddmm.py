@@ -98,6 +98,60 @@ def sample_scores(scores: jax.Array, q_idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(scores, q_idx, axis=1)
 
 
+def gathered_pair_cosines(emb: jax.Array, target_rows: jax.Array,
+                          pos_q: jax.Array, neg_q: jax.Array,
+                          eps: float = 1e-8):
+    """Per-pair cosine scores WITHOUT the dense [B, U] block:
+    normalize once, gather the pair rows, batched dot.
+
+    [U, H] x [B] x [B, P] x [B, M] -> ([B, P], [B, M]).
+
+    Cost ∝ pairs·H (gather + elementwise), vs the dense block's
+    ≥3·B·U floats of HBM traffic (fwd write, backward scatter of the
+    take_along_axis grad, two [B,U]·[U,H] GEMMs).  At the cached
+    pipeline's production shape (B=4096, U=32768, 26 pairs/target) the
+    block uses 0.08% of the scores it materializes — this formulation is
+    ~5x cheaper there (PROFILE_UNSUP.json).  The dense block stays optimal
+    for the compact pipeline's tiny batches (B≈20, U≈2048), where one
+    MXU matmul beats 26 gathers; `pair_loss_scores` dispatches on the
+    byte-cost crossover.  Same math as dense_pair_scores + sample_scores
+    (reference cosine pair scores, src/models.py:82,90)."""
+    emb32 = emb.astype(jnp.float32)
+    norms = jnp.maximum(jnp.linalg.norm(emb32, axis=-1, keepdims=True), eps)
+    # unit stays f32: a bf16 unit table was measured at parity (13.4 vs
+    # 13.2 ms/step) — the block is bound by the backward row scatter-add,
+    # not gather bytes — so keep full precision
+    unit = emb32 / norms                                   # [U, H]
+    t = jnp.take(unit, target_rows, axis=0)                # [B, H]
+    pos = jnp.take(unit, pos_q.reshape(-1), axis=0).reshape(
+        (*pos_q.shape, emb.shape[1]))                      # [B, P, H]
+    neg = jnp.take(unit, neg_q.reshape(-1), axis=0).reshape(
+        (*neg_q.shape, emb.shape[1]))                      # [B, M, H]
+    pos_cos = jnp.einsum("bh,bph->bp", t, pos,
+                         preferred_element_type=jnp.float32)
+    neg_cos = jnp.einsum("bh,bmh->bm", t, neg,
+                         preferred_element_type=jnp.float32)
+    return pos_cos.astype(emb.dtype), neg_cos.astype(emb.dtype)
+
+
+def pair_loss_scores(emb: jax.Array, target_rows: jax.Array,
+                     pos_q: jax.Array, neg_q: jax.Array,
+                     eps: float = 1e-8):
+    """Production dispatcher for per-pair cosines: the dense SDDMM block
+    when it is cheap (small B·U — compact-pipeline batches), the gathered
+    formulation when the block would be mostly wasted traffic (large
+    cached-pipeline batches).  Crossover by the HBM byte model: block
+    traffic ≈ 3·B·U·4 bytes vs gathered ≈ 3·pairs·H·4 bytes (fwd gather,
+    bwd scatter, unit-table pass)."""
+    b = target_rows.shape[0]
+    u = emb.shape[0]
+    n_pairs = pos_q.shape[0] * pos_q.shape[1] + neg_q.shape[0] * neg_q.shape[1]
+    if 3 * b * u <= 3 * n_pairs * emb.shape[1] + u * emb.shape[1]:
+        scores = pair_scores(emb, target_rows, eps=eps)
+        return sample_scores(scores, pos_q), sample_scores(scores, neg_q)
+    return gathered_pair_cosines(emb, target_rows, pos_q, neg_q, eps=eps)
+
+
 # ------------------------------------------------------------------ pallas
 def _scores_kernel(t_ref, e_ref, out_ref, *, eps):
     t = t_ref[:].astype(jnp.float32)                     # [TB, H]
