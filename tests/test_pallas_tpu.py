@@ -100,8 +100,11 @@ def _tpu_available() -> bool:
 
 @pytest.mark.skipif(not _tpu_available(), reason="no TPU reachable")
 def test_pallas_kernels_compile_and_match_on_tpu():
+    # generous timeout: the remote backend's FIRST execution of each
+    # program has been observed to take up to ~300 s on bad tunnel days
+    # (this worker runs several fresh programs)
     r = subprocess.run([sys.executable, "-c", _WORKER],
-                       capture_output=True, text=True, timeout=560,
+                       capture_output=True, text=True, timeout=2400,
                        env=_clean_env())
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     line = [ln for ln in r.stdout.splitlines()
