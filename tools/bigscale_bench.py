@@ -2,7 +2,7 @@
 
 Generates the 1M-node power-law graph (~100 s of host time — why this row
 is not part of bench.py), runs the flagship cached bf16 pipeline on it,
-and writes BIGSCALE_r02.json.  HBM footprint: feats 2.4 GB f32 +
+and writes BIGSCALE_r03.json.  HBM footprint: feats 2.4 GB f32 +
 cache table 2.4 GB + padded adjacency 128 MB — comfortably on one v5e.
 
 Run on the TPU (no JAX_PLATFORMS override):  python tools/bigscale_bench.py
@@ -42,12 +42,22 @@ def main():
         (mcfg, params, feats, neighbors, degrees, batches,
          labels) = _setup(ds, pad, dtype, batch, STEPS, 128)
         epoch_fn = jax.jit(make_cached_sup_epoch(mcfg, fanout=10))
-        dt = _timed(epoch_fn, (params, feats, neighbors, degrees, batches,
-                               labels, jax.random.PRNGKey(824)), STEPS)
+        dt, reps = _timed(epoch_fn, (params, feats, neighbors, degrees,
+                                     batches, labels,
+                                     jax.random.PRNGKey(824)), STEPS)
         row = _row_from_dt(f"powerlaw1M_b{batch}_cached_{dtype}", "cached",
                            dtype, batch, ds, pad, dt, 10, 128)
+        row["rep_step_ms"] = [round(r * 1000, 3) for r in reps]
         rows.append(row)
         print("#", json.dumps(row), file=sys.stderr)
+
+    # unsup (normal) at scale: encode + gathered pair loss each step
+    # (round-3 ops/sddmm.pair_loss_scores path; production pair shapes)
+    from bench import run_unsup_row
+    row = run_unsup_row("powerlaw1M_b32768_cached_bfloat16_unsup", ds, pad,
+                        32768, "bfloat16", steps=STEPS)
+    rows.append(row)
+    print("#", json.dumps(row), file=sys.stderr)
 
     out = {
         "workload": {"nodes": ds.num_nodes,
@@ -62,7 +72,7 @@ def main():
                  "table GEMM over all 1M rows + narrow [H] gathers"),
         "rows": rows,
     }
-    with open("BIGSCALE_r02.json", "w") as f:
+    with open("BIGSCALE_r03.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(rows[0]))
 
