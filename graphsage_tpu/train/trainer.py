@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Callable
 
@@ -131,6 +132,7 @@ class Trainer:
         self.max_vali_f1 = 0.0
         self.epoch = 0
         self.history: list[dict] = []
+        self._warmed = False   # first step runs under a warmup watchdog
         from graphsage_tpu.utils.obs import MetricsLogger
         self.metrics = MetricsLogger(train_cfg.metrics_path)
 
@@ -306,10 +308,30 @@ class Trainer:
                                for v in pb.unique_nodes[:pb.num_unique])
                 frontiers = jax.tree_util.tree_map(jnp.asarray,
                                                    list(cb.frontiers))
-                self.params, loss = self._step_fn(
-                    self.params, self.feats, jnp.asarray(cb.x0_ids),
-                    frontiers, jnp.asarray(labels), jnp.asarray(row_mask),
-                    _pair_tensors(pb))
+                if not self._warmed:
+                    # first step = compile + first execution; on remote
+                    # TPU backends the first execution alone has been
+                    # observed to take minutes — tell the operator it is
+                    # warmup, not a hang (utils/obs.py watchdog)
+                    from graphsage_tpu.utils.obs import collective_watchdog
+                    with collective_watchdog(
+                            label="first train step (compile/warmup; "
+                                  "remote TPU first-execution can take "
+                                  "minutes — not a hang unless repeated)",
+                            timeout_s=float(os.environ.get(
+                                "GS_WATCHDOG_TIMEOUT_S", "120"))):
+                        self.params, loss = self._step_fn(
+                            self.params, self.feats,
+                            jnp.asarray(cb.x0_ids), frontiers,
+                            jnp.asarray(labels), jnp.asarray(row_mask),
+                            _pair_tensors(pb))
+                        jax.block_until_ready(loss)
+                    self._warmed = True
+                else:
+                    self.params, loss = self._step_fn(
+                        self.params, self.feats, jnp.asarray(cb.x0_ids),
+                        frontiers, jnp.asarray(labels),
+                        jnp.asarray(row_mask), _pair_tensors(pb))
                 if tcfg.verbose:
                     # per-step loss print (reference src/utils.py:183)
                     # forces a device sync each batch

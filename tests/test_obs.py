@@ -75,3 +75,21 @@ def test_dist_trainer_first_step_guarded(monkeypatch):
     assert not tr._warmed
     tr.train_epoch()
     assert tr._warmed
+
+
+def test_compact_trainer_first_step_warmup_guard():
+    """The compact Trainer's first step runs under the warmup watchdog
+    (remote first-execution can take minutes; the dump says warmup, not
+    hang) and flips _warmed so later steps skip the guard."""
+    from graphsage_tpu.data import synthetic_power_law
+    from graphsage_tpu.models import GraphSageConfig
+    from graphsage_tpu.train import Trainer, TrainConfig
+
+    ds = synthetic_power_law(120, 500, num_feats=12, num_classes=3, seed=0)
+    mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    tcfg = TrainConfig(epochs=1, b_sz=16, fanout=3, seed=1, verbose=False,
+                       prefetch_depth=0)
+    tr = Trainer(ds, mcfg, tcfg)
+    assert not tr._warmed
+    tr.train_epoch()
+    assert tr._warmed
