@@ -183,19 +183,19 @@ def main(argv=None) -> int:
 
     if args.resume:
         from graphsage_tpu.utils.checkpoint import restore_checkpoint
-        params, epoch, best, rng = restore_checkpoint(args.resume,
-                                                      trainer.params)
+        params, epoch, best_f1, rng = restore_checkpoint(args.resume,
+                                                         trainer.params)
         import jax.numpy as jnp
         import jax
         trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
         # the checkpoint records the epoch it was written in; training
         # continues at the next one
         trainer.epoch = epoch + 1
-        trainer.max_vali_f1 = best
+        trainer.max_vali_f1 = best_f1
         trainer.rng = rng
         if not args.quiet:
             print(f"resumed from {args.resume} after epoch {epoch}, "
-                  f"best val F1 {best:.4f}")
+                  f"best val F1 {best_f1:.4f}")
 
     if args.learn_method == "sup":
         print("GraphSage with Supervised Learning")

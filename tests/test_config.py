@@ -137,6 +137,33 @@ def test_cli_main_end_to_end(tmp_path):
     assert np.load(emb_path).shape == (ds.num_nodes, 16)
 
 
+def test_cli_resume_then_export(tmp_path):
+    """--resume followed by --export in the same run: the restored best-F1
+    float must not shadow the best-val snapshot dict the export path reads
+    (regression: `best` was rebound by the resume unpack)."""
+    import os
+
+    from graphsage_tpu.cli import main
+
+    rc = main(["--dataSet", "powerlaw:200:800", "--epochs", "1",
+               "--b_sz", "32", "--hidden", "16", "--fanout", "4",
+               "--seed", "3", "--quiet",
+               "--checkpoint_dir", str(tmp_path / "ck")])
+    assert rc == 0
+    cks = sorted(os.listdir(tmp_path / "ck"))
+    assert cks, "first run produced no checkpoint"
+    bundle = tmp_path / "bundle"
+    rc = main(["--dataSet", "powerlaw:200:800", "--epochs", "2",
+               "--b_sz", "32", "--hidden", "16", "--fanout", "4",
+               "--seed", "3", "--quiet",
+               "--resume", str(tmp_path / "ck" / cks[-1]),
+               "--export", str(bundle)])
+    assert rc == 0
+    from graphsage_tpu.infer import load_bundle
+    _, _, _, meta = load_bundle(str(bundle))
+    assert meta["params"] in ("best-val", "final-epoch")
+
+
 def test_cli_dist_pipeline(capsys):
     """--pipeline dist drives the edge-partitioned halo trainer over the
     virtual 8-device mesh from the public CLI."""
