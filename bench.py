@@ -32,8 +32,12 @@ workload; BASELINE.md).  The reference's unsup step was not separately
 measurable per-step (protocol wall time only); unsup rows compare against
 the MEAN sup baseline — encode-side edge accounting is identical.
 
-Prints ONE JSON line (the headline: biggest-workload cached bf16 row) and
-writes every row to BENCH_DETAIL.json.
+Prints ONE JSON line (the headline: biggest-workload cached bf16 row).
+Rows stream to BENCH_DETAIL.partial.json as they complete; the canonical
+BENCH_DETAIL.json is atomically replaced only when ALL rows complete, so a
+partial run never clobbers the committed full capture.  The suite runs
+headline-first under a total wall-clock budget (GS_BENCH_SUITE_BUDGET_S,
+default 1200 s) so a driver-side cap still captures the flagship rows.
 """
 
 from __future__ import annotations
@@ -260,37 +264,28 @@ def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
     return row
 
 
-ROW_RETRIES = 3
+ROW_RETRIES = 3      # exception-mode attempts (fresh process each)
+HANG_RETRIES = 1     # extra attempts after a wall-clock hang kill
 HEADLINE_ROW = "powerlaw100k_b65536_cached_bfloat16"
 
-# Every row the suite runs, in order.  One registry shared by the parent
-# orchestrator and the `--row NAME` child mode so a row is described
-# exactly once.  "dataset" keys into _load_dataset.
+# Every row the suite runs, in EXECUTION order: headline first, then the
+# other flagship rows, so a driver-side wall-clock cap (the binding budget
+# three rounds running — BENCH_r0{1,2,3}.json rc=124) always captures the
+# number the build is judged on before the long tail.  One registry shared
+# by the parent orchestrator and the `--row NAME` child mode so a row is
+# described exactly once.  "dataset" keys into _load_dataset.
 _PL_ROWS = [
-    ("dense", 4096, "bfloat16", "MEAN"),
-    ("cached", 32768, "float32", "MEAN"),
+    ("cached", 65536, "bfloat16", "MEAN"),   # ← HEADLINE, runs first
     ("cached", 32768, "bfloat16", "MEAN"),
     ("cached", 32768, "bfloat16", "MAX"),
     ("cached", 32768, "bfloat16", "LSTM"),
-    ("cached", 65536, "bfloat16", "MEAN"),
+    ("cached", 32768, "float32", "MEAN"),
+    ("dense", 4096, "bfloat16", "MEAN"),
 ]
 
 
 def _row_specs():
-    specs = [
-        {"name": "cora_b512_dense_f32", "dataset": "cora", "kind": "sup",
-         "pipeline": "dense", "batch": 512, "dtype": "float32", "steps": 50,
-         "note": ("latency-bound: the 2708-node graph cannot load the "
-                  "chip; measures dispatch + small-kernel latency. "
-                  "Neighbor cache width 32, refreshed once per 50-step "
-                  "window (production refreshes per epoch; subset "
-                  "composition keeps per-draw sampling exactly uniform "
-                  "either way)")},
-        {"name": "pubmed_b8192_cached_bfloat16", "dataset": "pubmed",
-         "kind": "sup", "pipeline": "cached", "batch": 8192,
-         "dtype": "bfloat16", "steps": 20,
-         "note": "real Pubmed citation graph (19717 nodes / 500 feats)"},
-    ]
+    specs = []
     for pipeline, batch, dtype, agg in _PL_ROWS:
         suffix = ("" if agg == "MEAN" else
                   "_lstm_hybrid" if agg == "LSTM" else f"_{agg.lower()}")
@@ -303,10 +298,85 @@ def _row_specs():
             "dataset": "powerlaw", "kind": "sup", "pipeline": pipeline,
             "batch": batch, "dtype": dtype, "agg": agg, "steps": 20,
             "note": note})
-    specs.append({"name": "powerlaw100k_b32768_cached_bfloat16_unsup",
-                  "dataset": "powerlaw", "kind": "unsup", "batch": 32768,
-                  "dtype": "bfloat16"})
+    # pubmed + unsup ride just after the headline block; cora (a pure
+    # latency row) runs last — it carries the least information per second
+    specs.insert(1, {"name": "pubmed_b8192_cached_bfloat16",
+                     "dataset": "pubmed", "kind": "sup",
+                     "pipeline": "cached", "batch": 8192,
+                     "dtype": "bfloat16", "steps": 20,
+                     "note": ("real Pubmed citation graph (19717 nodes / "
+                              "500 feats)")})
+    specs.insert(2, {"name": "powerlaw100k_b32768_cached_bfloat16_unsup",
+                     "dataset": "powerlaw", "kind": "unsup", "batch": 32768,
+                     "dtype": "bfloat16"})
+    specs.append({
+        "name": "cora_b512_dense_f32", "dataset": "cora", "kind": "sup",
+        "pipeline": "dense", "batch": 512, "dtype": "float32", "steps": 50,
+        "note": ("latency-bound: the 2708-node graph cannot load the "
+                 "chip; measures dispatch + small-kernel latency. "
+                 "Neighbor cache width 32, refreshed once per 50-step "
+                 "window (production refreshes per epoch; subset "
+                 "composition keeps per-draw sampling exactly uniform "
+                 "either way)")})
     return specs
+
+
+# --- Roofline accounting (VERDICT r03 item 9) -------------------------------
+#
+# Measured bounds for each flagship row's BINDING op, from the committed
+# PROFILE artifacts — "fast" is defended against the op that actually limits
+# the step, not the 2% MXU MFU figure of this intrinsically low-arithmetic-
+# intensity workload:
+#
+# * cached sup/unsup rows: the layer-1-table backward scatter-add — M random
+#   [H]-row bf16 read-modify-writes.  In-step fused rate measured at
+#   57.3M rows/s (PROFILE_CACHED.json step_anatomy_B65536: fwd_bwd 17.755 ms
+#   minus stop_grad_h1_table 5.184 ms = 12.57 ms for 720,896 rows).  The
+#   unsup row additionally scatters its pair-gather backward rows
+#   (targets × (1+P+M)) into the same bound (PROFILE_UNSUP.json).
+# * LSTM hybrid: the recurrence is HBM-bound on gate activations
+#   (PROFILE_LSTM.json); best measured recurrence at the bench shape is
+#   7.194 ms (bf16 gates + remat), on top of the MEAN step's scatter floor.
+#
+# pct_of_measured_bound = (binding-op work / step time) / measured bound —
+# the fraction of the binding op's measured peak the whole step achieves;
+# the remainder is the rest of the step (GEMMs, gathers, sampling), so 1.0
+# is unreachable by definition and ~0.6-0.8 means scatter-dominated.
+_SCATTER_ROWS_PER_SEC_BF16 = 57.3e6   # PROFILE_CACHED.json, in-step fused
+_UNSUP_PAIR_FANIN = 1 + 6 + 20        # target + P positives + M negatives
+_LSTM_RECURRENCE_FLOOR_MS = 7.194     # PROFILE_LSTM.json bf16+remat
+
+
+def _attach_roofline(row) -> None:
+    """Annotate a completed flagship row with pct_of_measured_bound."""
+    name, step_ms = row.get("name", ""), row.get("step_ms")
+    if not step_ms:
+        return
+    fanin = 11  # fanout 10 + self slot
+    if name == "powerlaw100k_b32768_cached_bfloat16_unsup":
+        rows_scattered = row["batch"] * fanin + 4096 * _UNSUP_PAIR_FANIN
+    elif row.get("pipeline") == "cached" and row.get("dtype") == "bfloat16" \
+            and row.get("agg") == "MEAN":
+        rows_scattered = row["batch"] * fanin
+    elif row.get("agg") == "LSTM":
+        # composite floor: measured best recurrence + the MEAN scatter floor
+        scatter_ms = row["batch"] * fanin / _SCATTER_ROWS_PER_SEC_BF16 * 1e3
+        floor_ms = scatter_ms + _LSTM_RECURRENCE_FLOOR_MS
+        row["pct_of_measured_bound"] = round(floor_ms / step_ms, 3)
+        row["bound_basis"] = ("measured floor = l1 scatter-add at 57.3M "
+                              "rows/s (PROFILE_CACHED.json) + best measured "
+                              "LSTM recurrence 7.194 ms "
+                              "(PROFILE_LSTM.json bf16+remat)")
+        return
+    else:
+        return
+    achieved = rows_scattered / (step_ms / 1e3)
+    row["pct_of_measured_bound"] = round(
+        achieved / _SCATTER_ROWS_PER_SEC_BF16, 3)
+    row["bound_basis"] = (f"l1-table backward scatter-add: "
+                          f"{rows_scattered} random [128]-row bf16 RMWs/step "
+                          f"vs the in-step fused rate 57.3M rows/s "
+                          f"(PROFILE_CACHED.json step_anatomy_B65536)")
 
 
 def _load_dataset(tag: str):
@@ -329,13 +399,20 @@ def _load_dataset(tag: str):
 
 def run_named_row(name: str):
     """Run one registry row in this process (the `--row` child mode)."""
-    spec = next(s for s in _row_specs() if s["name"] == name)
+    spec = next((s for s in _row_specs() if s["name"] == name), None)
+    if spec is None:
+        # a plain StopIteration would be swallowed silently inside any
+        # generator frame (ADVICE r03) — fail loudly instead
+        raise ValueError(f"unknown bench row: {name}")
     ds, pad = _load_dataset(spec["dataset"])
     if spec["kind"] == "unsup":
-        return run_unsup_row(name, ds, pad, spec["batch"], spec["dtype"])
-    return run_row(name, ds, pad, spec["pipeline"], spec["batch"],
-                   spec["dtype"], steps=spec["steps"],
-                   agg=spec.get("agg", "MEAN"), note=spec.get("note"))
+        row = run_unsup_row(name, ds, pad, spec["batch"], spec["dtype"])
+    else:
+        row = run_row(name, ds, pad, spec["pipeline"], spec["batch"],
+                      spec["dtype"], steps=spec["steps"],
+                      agg=spec.get("agg", "MEAN"), note=spec.get("note"))
+    _attach_roofline(row)
+    return row
 
 
 def _attempt_row(rows, fn, *args, **kwargs):
@@ -368,17 +445,45 @@ def _attempt_row(rows, fn, *args, **kwargs):
     return None
 
 
+def _here(fname: str) -> str:
+    """Artifact paths anchor to bench.py's directory, not the invoking CWD
+    (children are already pinned there; ADVICE r03)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+
+
 def _flush(rows):
-    with open("BENCH_DETAIL.json", "w") as f:
+    """Stream progress to the PARTIAL artifact only.  The canonical
+    BENCH_DETAIL.json is replaced solely by _finalize on full-suite
+    success, so an interrupted run can never clobber the committed
+    complete capture (VERDICT r03 weak #2 / ADVICE r03 medium)."""
+    with open(_here("BENCH_DETAIL.partial.json"), "w") as f:
         json.dump(rows, f, indent=1)
+
+
+def _finalize(rows) -> bool:
+    """Atomically promote the run to BENCH_DETAIL.json iff every registry
+    row completed with a measurement.  Returns True if promoted."""
+    import os
+
+    complete = (len(rows) == len(_row_specs())
+                and all("edges_per_sec" in r for r in rows))
+    _flush(rows)
+    if complete:
+        tmp = _here("BENCH_DETAIL.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rows, f, indent=1)
+        os.replace(tmp, _here("BENCH_DETAIL.json"))
+        os.remove(_here("BENCH_DETAIL.partial.json"))
+    return complete
 
 
 _ROW_MARK = "ROW_JSON:"
 
 
-def _attempt_row_subprocess(rows, name: str) -> dict | None:
+def _attempt_row_subprocess(rows, name: str, deadline: float) -> dict | None:
     """Run one registry row in a CHILD process with a hard wall-clock
-    timeout, retrying in a fresh process on failure OR hang.
+    timeout, retrying in a fresh process on failure or hang.
 
     Why a subprocess: the remote TPU backend has been observed to wedge a
     request forever (main thread futex-waits on an RPC that never
@@ -386,29 +491,52 @@ def _attempt_row_subprocess(rows, name: str) -> dict | None:
     No in-process retry can fire because no exception is ever raised; the
     only recovery is killing the process and starting clean, which a
     fresh attempt then survives (observed).  Exception-mode failures
-    (FAILED_PRECONDITION state drops, VERDICT r02 weak #1) are covered by
-    the same retry loop.  ``GS_BENCH_ROW_TIMEOUT_S`` tunes the per-attempt
-    budget (default 600 s ≫ worst observed compile+run ≈ 200 s);
-    ``GS_BENCH_INPROC=1`` restores the in-process path (used by tests and
-    single-chip debugging)."""
+    (FAILED_PRECONDITION state drops, VERDICT r02 weak #1) get up to
+    ROW_RETRIES attempts; a HANG gets exactly one retry (HANG_RETRIES) —
+    a row that wedges twice is burning the suite budget for nothing
+    (VERDICT r03: one pubmed wedge ate 600 s and cost the whole capture).
+
+    ``GS_BENCH_ROW_TIMEOUT_S`` tunes the per-attempt budget (default
+    240 s; worst observed healthy compile+run ≈ 200 s), further clipped
+    to the suite ``deadline`` (time.monotonic()-based) so no child can
+    outlive the driver's budget.  ``GS_BENCH_INPROC=1`` restores the
+    in-process path (used by tests and single-chip debugging)."""
     import os
     import subprocess
     import sys
 
-    timeout_s = float(os.environ.get("GS_BENCH_ROW_TIMEOUT_S", "600"))
+    row_timeout_s = float(os.environ.get("GS_BENCH_ROW_TIMEOUT_S", "240"))
     last_err = "unknown"
+    hangs = 0
     for attempt in range(ROW_RETRIES):
+        timeout_s = min(row_timeout_s, deadline - time.monotonic())
+        if timeout_s < 30:
+            last_err = (last_err if last_err != "unknown"
+                        else "suite budget exhausted before first attempt")
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__),
                  "--row", name],
                 capture_output=True, text=True, timeout=timeout_s,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # keep the child's partial output — it is the best diagnostic
+            # for WHERE the wedge happened (ADVICE r03)
+            partial = ((e.stderr or "") + (e.stdout or "")
+                       if isinstance(e.stderr, str)
+                       else ((e.stderr or b"") + (e.stdout or b""))
+                       .decode("utf-8", "replace"))
+            tail = " | ".join(partial.strip().splitlines()[-4:])
             last_err = (f"hang: row did not complete within {timeout_s:g}s "
-                        "(child killed; remote backend RPC wedge)")
-            print(f"# row {name} attempt {attempt + 1}/{ROW_RETRIES}: "
-                  f"{last_err}", file=sys.stderr)
+                        f"(child killed; remote backend RPC wedge); "
+                        f"child tail: {tail}")[:500]
+            print(f"# row {name} attempt {attempt + 1}: {last_err}",
+                  file=sys.stderr)
+            hangs += 1
+            if hangs > HANG_RETRIES:
+                break
+            time.sleep(2.0 * (attempt + 1))
             continue
         payload = next((ln[len(_ROW_MARK):] for ln
                         in reversed(proc.stdout.splitlines())
@@ -429,18 +557,43 @@ def _attempt_row_subprocess(rows, name: str) -> dict | None:
     return None
 
 
+# Reserve this much of the suite budget per not-yet-started row: below it a
+# fresh child (≈10 s interpreter+dataset setup + compile) cannot finish, so
+# starting one only produces a kill at the deadline.
+_MIN_ROW_BUDGET_S = 45.0
+
+
 def main() -> None:
     import os
+    import sys
+
+    # Suite-level wall-clock budget (VERDICT r03 item 1): the binding
+    # constraint is the DRIVER's cap, which killed the capture three rounds
+    # running.  Default 1200 s < any observed driver budget; rows that
+    # don't fit are recorded as skipped and the summary still prints.
+    budget_s = float(os.environ.get("GS_BENCH_SUITE_BUDGET_S", "1200"))
+    t0 = time.monotonic()
+    deadline = t0 + budget_s
 
     rows = []
-    if os.environ.get("GS_BENCH_INPROC"):
-        for spec in _row_specs():
+    specs = _row_specs()
+    inproc = bool(os.environ.get("GS_BENCH_INPROC"))
+    for spec in specs:
+        remaining = deadline - time.monotonic()
+        if remaining < _MIN_ROW_BUDGET_S:
+            rows.append({"name": spec["name"], "skipped":
+                         f"suite budget exhausted ({budget_s:g}s; "
+                         f"{remaining:.0f}s left)"})
+            print(f"# row {spec['name']} skipped: suite budget exhausted",
+                  file=sys.stderr)
+            _flush(rows)
+            continue
+        if inproc:
             _attempt_row(rows, run_named_row, name=spec["name"])
-    else:
-        for spec in _row_specs():
-            _attempt_row_subprocess(rows, spec["name"])
+        else:
+            _attempt_row_subprocess(rows, spec["name"], deadline)
 
-    _flush(rows)
+    promoted = _finalize(rows)
 
     # ALWAYS print the summary line from whatever completed: prefer the
     # headline row, else the best completed edges/s row (the driver records
@@ -462,7 +615,11 @@ def main() -> None:
                              / REFERENCE_EDGES_PER_SEC["MEAN"], 3),
         "row": head["name"],
         "rows_completed": len(done),
-        "rows_failed": len(rows) - len(done),
+        "rows_failed": len([r for r in rows if "error" in r]),
+        "rows_skipped": len([r for r in rows if "skipped" in r]),
+        "suite_wall_s": round(time.monotonic() - t0, 1),
+        "detail_artifact": ("BENCH_DETAIL.json" if promoted
+                            else "BENCH_DETAIL.partial.json"),
     }))
 
 

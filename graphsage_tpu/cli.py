@@ -165,10 +165,6 @@ def main(argv=None) -> int:
             lr=args.lr, fanout=args.fanout, seed=args.seed,
             clf_epochs=args.clf_epochs, verbose=not args.quiet)
         trainer = DistTrainer(ds, mcfg, dcfg, checkpoint_fn=checkpoint_fn)
-        if args.resume:
-            print("NOTE: --resume is not supported on the dist pipeline; "
-                  "ignoring")
-            args.resume = None
     elif args.pipeline in ("cached", "cached_dist"):
         from graphsage_tpu.train import CachedDistTrainer, CachedTrainer
         cls = (CachedDistTrainer if args.pipeline == "cached_dist"
@@ -187,7 +183,15 @@ def main(argv=None) -> int:
                                                          trainer.params)
         import jax.numpy as jnp
         import jax
-        trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
+        if args.pipeline == "dist":
+            # DistTrainer keeps params replicated over its mesh; restoring
+            # them single-device would make the first sharded step resharded
+            # (or fail on a true multi-host slice)
+            from jax.sharding import NamedSharding, PartitionSpec
+            trainer.params = jax.device_put(
+                params, NamedSharding(trainer.mesh, PartitionSpec()))
+        else:
+            trainer.params = jax.tree_util.tree_map(jnp.asarray, params)
         # the checkpoint records the epoch it was written in; training
         # continues at the next one
         trainer.epoch = epoch + 1

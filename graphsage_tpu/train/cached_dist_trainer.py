@@ -134,7 +134,13 @@ class CachedDistTrainer(CachedTrainer):
                     params, self.feats, self.neighbors, self.degrees,
                     batches, labels, row_masks, pair_stack, k_ep)
 
-        mean_loss = float(np.mean(np.asarray(losses)))
+        # the epoch fetch is the steady-state sync — deadline-guarded
+        # against the observed mid-run RPC wedge (utils/obs.py)
+        from graphsage_tpu.utils.obs import fetch_with_deadline
+        losses = fetch_with_deadline(
+            losses, label=f"cached_dist epoch {self.epoch} loss fetch",
+            convert=np.asarray)
+        mean_loss = float(np.mean(losses))
         t = np.asarray(losses).shape[0]
         self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
                          visited_nodes=int(visited),

@@ -220,7 +220,12 @@ class CachedTrainer(Trainer):
                     self.params, self.feats, self.neighbors, self.degrees,
                     batches, labels, pair_stack, row_masks, k_ep)
 
-        mean_loss = float(np.mean(np.asarray(losses)))
+        # the epoch fetch is the cached pipeline's one steady-state sync —
+        # deadline-guarded against the observed mid-run RPC wedge
+        from graphsage_tpu.utils.obs import fetch_with_deadline
+        mean_loss = float(np.mean(fetch_with_deadline(
+            losses, label=f"cached epoch {self.epoch} loss fetch",
+            convert=np.asarray)))
         self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
                          visited_nodes=visited, train_nodes=len(order),
                          pipeline="cached")

@@ -217,7 +217,10 @@ class DistTrainer:
             if isinstance(stream, Prefetcher):
                 stream.close()
             raise
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        from graphsage_tpu.utils.obs import fetch_with_deadline
+        mean_loss = float(np.mean([
+            fetch_with_deadline(l, label=f"dist step {i} loss fetch")
+            for i, l in enumerate(losses)]))
         if tcfg.verbose:
             print(f"dist epoch {self.epoch}: mean loss {mean_loss:.4f} "
                   f"({steps} steps x {per_step} nodes)")
@@ -308,7 +311,10 @@ class DistTrainer:
         return self.evaluate()
 
     def fit(self) -> float:
-        for epoch in range(self.tcfg.epochs):
+        """Full outer loop.  Starts at ``self.epoch`` so a resumed trainer
+        continues from the checkpointed epoch (same contract as
+        Trainer.fit; the reference is save-only, src/utils.py:52)."""
+        for epoch in range(self.epoch, self.tcfg.epochs):
             self.epoch = epoch
             self.train_epoch()
             if self.tcfg.learn_method == "unsup":

@@ -33,6 +33,7 @@ import numpy as np
 
 from graphsage_tpu.data.loaders import Dataset
 from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
+from graphsage_tpu.utils.obs import fetch_with_deadline
 from graphsage_tpu.models import (
     GraphSageConfig,
     classifier_apply,
@@ -334,8 +335,11 @@ class Trainer:
                         jnp.asarray(row_mask), _pair_tensors(pb))
                 if tcfg.verbose:
                     # per-step loss print (reference src/utils.py:183)
-                    # forces a device sync each batch
-                    loss = float(loss)
+                    # forces a device sync each batch; deadline-guarded —
+                    # the remote backend has wedged MID-RUN fetches
+                    # (utils/obs.py fetch_with_deadline)
+                    loss = fetch_with_deadline(
+                        loss, label=f"step {bi + 1} loss fetch")
                     print(f"Step [{bi + 1}/{batches}], Loss: {loss:.4f}, "
                           f"Dealed Nodes [{len(visited)}/"
                           f"{len(train_nodes)}]")
@@ -346,12 +350,17 @@ class Trainer:
                 # queue (unbounded async dispatch deadlocks the remote TPU
                 # backend)
                 if not tcfg.verbose and bi >= 4:
-                    losses[bi - 4] = float(losses[bi - 4])
+                    losses[bi - 4] = fetch_with_deadline(
+                        losses[bi - 4],
+                        label=f"step {bi - 3} loss fetch (dispatch window)")
         except BaseException:
             if isinstance(stream, Prefetcher):
                 stream.close()  # unblock + join the producer thread
             raise
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        mean_loss = float(np.mean([
+            l if isinstance(l, float) else
+            fetch_with_deadline(l, label="epoch-end loss drain")
+            for l in losses]))
         self.metrics.log("epoch", epoch=self.epoch, mean_loss=mean_loss,
                          visited_nodes=len(visited),
                          train_nodes=len(train_nodes))

@@ -73,6 +73,67 @@ def enable_nan_checks(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
 
 
+class FetchDeadlineError(RuntimeError):
+    """A device→host fetch exceeded its deadline (wedged backend RPC)."""
+
+
+def fetch_with_deadline(value, label: str = "device fetch",
+                        timeout_s: float | None = None, convert=float,
+                        stream=None):
+    """Fetch a device value with a hard wall-clock deadline.
+
+    The remote TPU backend has been observed to wedge a fetch RPC forever
+    (main thread futex-waits, no exception is ever raised — seen live in
+    round 3 on a mid-run CLI train request).  The first-step
+    ``collective_watchdog`` cannot catch that: it only guards warmup.
+    This guards the STEADY-STATE syncs — the per-step bounded-dispatch-
+    window loss fetch and the cached trainers' epoch fetch — by running
+    ``convert(value)`` (``float`` / ``np.asarray``) on a daemon worker
+    thread and waiting with a timeout.  On deadline it dumps diagnostics
+    and raises :class:`FetchDeadlineError` so a 50-epoch run fails loudly
+    in seconds instead of hanging silently at step 400; the recovery
+    (observed to work every time) is a fresh process.
+
+    The wedged worker thread cannot be interrupted (it is blocked inside
+    a C call) — it is daemonized and leaked, which is fine because the
+    only sane caller reaction is to exit/restart.  Timeout default 120 s
+    (env ``GS_FETCH_TIMEOUT_S``) ≫ any healthy steady-state fetch (ms).
+    """
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("GS_FETCH_TIMEOUT_S", "120"))
+    box: dict = {}
+
+    def work():
+        try:
+            box["value"] = convert(value)
+        except BaseException as e:  # re-raised on the caller's thread
+            box["err"] = e
+
+    t = threading.Thread(target=work, daemon=True,
+                         name=f"gs-fetch[{label}]")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        out = stream if stream is not None else sys.stderr
+        lines = [f"[fetch-deadline] {label!r} has not returned after "
+                 f"{timeout_s:g}s — the backend has likely wedged the "
+                 f"fetch RPC (observed failure mode of the remote TPU "
+                 f"tunnel).  Recovery: kill this process and restart "
+                 f"(resume from the last checkpoint); a fresh process has "
+                 f"always recovered in practice."]
+        try:
+            lines.append("  devices: "
+                         + ", ".join(str(d) for d in jax.devices()))
+        except Exception as e:  # the backend may itself be wedged
+            lines.append(f"  (device query failed: {e!r})")
+        print("\n".join(lines), file=out, flush=True)
+        raise FetchDeadlineError(
+            f"{label} did not complete within {timeout_s:g}s")
+    if "err" in box:
+        raise box["err"]
+    return box["value"]
+
+
 @contextlib.contextmanager
 def collective_watchdog(label: str = "first sharded step",
                         timeout_s: float | None = None,

@@ -189,3 +189,53 @@ def test_cli_cached_pipeline(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Best validation F1:" in out
+
+
+def test_cli_dist_pipeline_resume_then_export(tmp_path):
+    """Resume works on the dist pipeline too (VERDICT r03 item 7: the one
+    pipeline designed for long multi-host runs must be able to restart):
+    train 1 epoch -> checkpoint -> resume for epoch 2 -> export, with the
+    restored params re-placed replicated over the trainer's mesh."""
+    import os
+
+    from graphsage_tpu.cli import main
+
+    common = ["--dataSet", "powerlaw:300:1500", "--pipeline", "dist",
+              "--b_sz", "64", "--hidden", "16", "--fanout", "4",
+              "--seed", "5", "--quiet"]
+    rc = main(common + ["--epochs", "1",
+                        "--checkpoint_dir", str(tmp_path / "ck")])
+    assert rc == 0
+    cks = sorted(os.listdir(tmp_path / "ck"))
+    assert cks, "dist run produced no checkpoint"
+    bundle = tmp_path / "bundle"
+    rc = main(common + ["--epochs", "2",
+                        "--resume", str(tmp_path / "ck" / cks[-1]),
+                        "--export", str(bundle)])
+    assert rc == 0
+    from graphsage_tpu.infer import load_bundle
+    _, _, _, meta = load_bundle(str(bundle))
+    assert meta["params"] in ("best-val", "final-epoch")
+
+
+def test_dist_trainer_fit_starts_at_resumed_epoch():
+    """DistTrainer.fit honors a pre-set self.epoch (the resume contract
+    Trainer already has) instead of re-running from 0."""
+    import numpy as np
+
+    from graphsage_tpu.data import synthetic_power_law
+    from graphsage_tpu.models import GraphSageConfig
+    from graphsage_tpu.train.dist_trainer import (DistTrainConfig,
+                                                  DistTrainer)
+
+    ds = synthetic_power_law(200, 900, num_feats=16, num_classes=3, seed=0)
+    mcfg = GraphSageConfig(num_layers=2, input_size=16, out_size=8)
+    tcfg = DistTrainConfig(epochs=3, b_loc=8, fanout=4, seed=1,
+                           verbose=False, prefetch_depth=0)
+    tr = DistTrainer(ds, mcfg, tcfg)
+    seen = []
+    orig = tr.train_epoch
+    tr.train_epoch = lambda: (seen.append(tr.epoch), orig())[1]
+    tr.epoch = 2  # as set by a resume after a 2-epoch checkpointed run
+    tr.fit()
+    assert seen == [2]
