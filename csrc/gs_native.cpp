@@ -18,9 +18,11 @@
 // Build:  python -m graphsage_tpu.native.build
 // ABI:    plain C, int32 indices throughout (graphs < 2^31 nodes/edges).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -269,6 +271,65 @@ int gs_bfs_closure(const int32_t* indptr, const int32_t* indices,
     std::memcpy(frontier, next.data(), f_len * sizeof(int32_t));
   }
   return count;
+}
+
+// Batched ≤max_hops far-list builder (the exact-negative closure of
+// reference src/models.py:153-167 at scale): for each root, BFS over the
+// CSR graph with byte-flag visited marks, then emit the train nodes
+// OUTSIDE the closure into out_far[r * n_train ..] (count in
+// out_counts[r]).  Roots are distributed over n_threads workers via an
+// atomic counter; the graph and train list are shared read-only, each
+// worker owns its visited/frontier scratch, and output rows are disjoint.
+// The caller bounds out_far memory by chunking roots (stride = n_train).
+int gs_far_lists(const int32_t* indptr, const int32_t* indices,
+                 int32_t num_nodes, const int32_t* roots, int32_t n_roots,
+                 int32_t max_hops, const int32_t* train, int32_t n_train,
+                 int32_t n_threads, int32_t* out_far, int32_t* out_counts) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int32_t> next_root(0);
+
+  auto worker = [&]() {
+    std::vector<uint8_t> visited((size_t)num_nodes);
+    std::vector<int32_t> frontier, next;
+    frontier.reserve(1024);
+    next.reserve(4096);
+    while (true) {
+      int32_t r = next_root.fetch_add(1, std::memory_order_relaxed);
+      if (r >= n_roots) break;
+      int32_t root = roots[r];
+      std::memset(visited.data(), 0, (size_t)num_nodes);
+      visited[root] = 1;
+      frontier.clear();
+      frontier.push_back(root);
+      for (int h = 0; h < max_hops && !frontier.empty(); ++h) {
+        next.clear();
+        for (int32_t v : frontier) {
+          for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+            int32_t u = indices[e];
+            if (!visited[u]) {
+              visited[u] = 1;
+              next.push_back(u);
+            }
+          }
+        }
+        frontier.swap(next);
+      }
+      int32_t* out = out_far + (int64_t)r * n_train;
+      int32_t c = 0;
+      for (int32_t i = 0; i < n_train; ++i) {
+        int32_t t = train[i];
+        if (!visited[t]) out[c++] = t;
+      }
+      out_counts[r] = c;
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return 0;
 }
 
 // Uniform fanout-sampling of presampled index tables for the dense path:

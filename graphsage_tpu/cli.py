@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cached pipelines + --agg_func LSTM: opt into the "
                         "hybrid variant (MEAN leaf cache at layer 1, live "
                         "LSTM cells at layers 2..L — train/cached.py)")
+    p.add_argument("--refresh_every", type=int, default=1,
+                   help="cached pipeline: refresh the leaf cache every k "
+                        "epochs (k>1 = cache staleness, amortizing the "
+                        "refresh — the dominant cost at 1M-node scale; "
+                        "quality vs k in STALENESS_r04.json)")
     p.add_argument("--no_extend", action="store_true",
                    help="cached pipeline: plain fixed-size supervised "
                         "batches instead of the reference's pair-extended "
@@ -127,7 +132,7 @@ def main(argv=None) -> int:
         b_sz=args.b_sz, epochs=args.epochs, lr=args.lr, seed=args.seed,
         fanout=args.fanout, clf_epochs=args.clf_epochs,
         strict_clf_eval=args.strict_clf_eval, verbose=not args.quiet,
-        metrics_path=args.metrics)
+        metrics_path=args.metrics, refresh_every=args.refresh_every)
 
     # best-val params snapshot: checkpoint_fn fires exactly on val
     # improvement, so the last snapshot is the model that achieved

@@ -2,6 +2,7 @@ from graphsage_tpu.native.engine import (
     available,
     build_compact_batch_native,
     bfs_closure_native,
+    far_lists_native,
     sample_fanout_native,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "available",
     "build_compact_batch_native",
     "bfs_closure_native",
+    "far_lists_native",
     "sample_fanout_native",
 ]

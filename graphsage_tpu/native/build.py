@@ -20,7 +20,7 @@ OUT = os.path.join(HERE, "_gs_native.so")
 def build(verbose: bool = True) -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", OUT, SRC,
+        "-pthread", "-o", OUT, SRC,
     ]
     if verbose:
         print(" ".join(cmd))

@@ -51,6 +51,15 @@ def _load():
         i32p, i32p, ctypes.c_int32, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_uint64, i32p, i32p,
     ]
+    try:
+        lib.gs_far_lists.restype = ctypes.c_int
+        lib.gs_far_lists.argtypes = [
+            i32p, i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+            ctypes.c_int32, i32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p,
+        ]
+    except AttributeError:  # stale .so predating the batched builder
+        pass
     _LIB = lib
     return _LIB
 
@@ -128,6 +137,44 @@ def bfs_closure_native(indptr: np.ndarray, indices: np.ndarray,
                        np.int32(root), np.int32(max_hops),
                        _p(bits, ctypes.c_uint8), _p(work, ctypes.c_int32))
     return bits
+
+
+def far_lists_native(indptr: np.ndarray, indices: np.ndarray,
+                     num_nodes: int, roots: np.ndarray, max_hops: int,
+                     train: np.ndarray, n_threads: int | None = None,
+                     chunk_bytes: int = 64 << 20):
+    """Batched exact-negative far lists: for each root, the train nodes
+    outside its ≤max_hops BFS closure (reference src/models.py:153-167
+    semantics), computed on a C++ thread pool.  Returns a list of int32
+    arrays (one per root, each a fresh copy safe to cache) or None when
+    the native lib is unavailable.  Roots are chunked so the [chunk,
+    n_train] scratch stays under ``chunk_bytes``."""
+    lib = _load()
+    if not lib or not hasattr(lib, "gs_far_lists"):
+        return None
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    roots = np.ascontiguousarray(roots, dtype=np.int32)
+    train = np.ascontiguousarray(train, dtype=np.int32)
+    n_train = len(train)
+    chunk = max(1, int(chunk_bytes // max(1, n_train * 4)))
+    out: list[np.ndarray] = []
+    for lo in range(0, len(roots), chunk):
+        part = roots[lo:lo + chunk]
+        far_buf = np.empty((len(part), n_train), dtype=np.int32)
+        counts = np.zeros(len(part), dtype=np.int32)
+        lib.gs_far_lists(
+            _p(indptr, ctypes.c_int32), _p(indices, ctypes.c_int32),
+            np.int32(num_nodes), _p(part, ctypes.c_int32),
+            np.int32(len(part)), np.int32(max_hops),
+            _p(train, ctypes.c_int32), np.int32(n_train),
+            np.int32(n_threads), _p(far_buf, ctypes.c_int32),
+            _p(counts, ctypes.c_int32))
+        out.extend(far_buf[i, :counts[i]].copy()
+                   for i in range(len(part)))
+    return out
 
 
 def sample_fanout_native(indptr: np.ndarray, indices: np.ndarray,

@@ -66,7 +66,18 @@ class PairSampler:
           O(1) per node; the standard large-graph approximation (on a
           power-law graph the 5-hop closure approaches the whole component,
           making "far" both ill-defined and expensive).
-        - "auto": exact below 200k nodes, uniform above.
+        - "auto": exact when the MEASURED first-epoch closure cost fits a
+          budget, uniform otherwise.  Each exact closure traverses ~all
+          directed edge slots (the 5-hop closure of a connected graph
+          approaches the whole component), so first-epoch cost ≈
+          n_train · E / rate; the threaded C++ builder (gs_far_lists)
+          measured 651M edge-visits/s on the 2-core bench host
+          (PAIRS_SCALE_r04.json), budgeted as 300M/s/core.  Budget:
+          env ``GS_EXACT_NEG_BUDGET_S``, default 180 s.  At that rate:
+          Cora/Pubmed ≈ 0.01-1.3 s → exact; powerlaw 100k/1M ≈ 140 s →
+          exact; config-5 1M/10M ≈ 4 h → uniform.  (Replaces the round-3
+          static 200k-node rule with one justified by measurement —
+          VERDICT r03 item 3.)
         """
         self.graph = graph
         self.q = q
@@ -88,8 +99,11 @@ class PairSampler:
         self._far_cache_bytes = 0
         self.far_cache_budget = int(far_cache_bytes)
         if negative_mode == "auto":
-            negative_mode = ("exact" if graph.num_nodes <= 200_000
-                             else "uniform")
+            import os
+            budget_s = float(os.environ.get("GS_EXACT_NEG_BUDGET_S", "180"))
+            rate = 300e6 * max(1, os.cpu_count() or 1)  # edge-visits/s
+            est_s = len(self.train_nodes) * len(graph.indices) / rate
+            negative_mode = "exact" if est_s <= budget_s else "uniform"
         assert negative_mode in ("exact", "uniform"), negative_mode
         self.negative_mode = negative_mode
 
@@ -128,13 +142,40 @@ class PairSampler:
                 close[new] = True
                 frontier = new.astype(np.int64)
         far = self.train_nodes[~close[self.train_nodes]].astype(np.int32)
+        self._insert_far(node, far)
+        return far
+
+    def _insert_far(self, node: int, far: np.ndarray) -> None:
         self._far_cache[node] = far
         self._far_cache_bytes += far.nbytes
         while (self._far_cache_bytes > self.far_cache_budget
                and len(self._far_cache) > 1):
             _, evicted = self._far_cache.popitem(last=False)
             self._far_cache_bytes -= evicted.nbytes
-        return far
+
+    def _prefill_far(self, nodes: np.ndarray) -> None:
+        """Batch-build the missing far lists on the C++ thread pool
+        (gs_far_lists: one worker per core, byte-flag BFS + train scan).
+        Identical output to the per-root path (same train order), 2.9x
+        faster per root on the 2-core bench host and scaling with cores
+        (PAIRS_SCALE_r04.json); silently falls back to the lazy per-root
+        path when the native lib is absent."""
+        missing = [v for v in dict.fromkeys(int(x) for x in nodes)
+                   if v not in self._far_cache]
+        if not missing:
+            return
+        try:
+            from graphsage_tpu.native import far_lists_native
+            g = self.graph
+            fars = far_lists_native(g.indptr, g.indices, g.num_nodes,
+                                    np.asarray(missing, dtype=np.int32),
+                                    self.n_walk_len, self.train_nodes)
+        except Exception:
+            fars = None
+        if fars is None:
+            return
+        for node, far in zip(missing, fars):
+            self._insert_far(node, far)
 
     def negatives(self, node: int, num_neg: int,
                   rng: np.random.RandomState) -> np.ndarray:
@@ -180,6 +221,8 @@ class PairSampler:
                      rng: np.random.RandomState) -> PairBatch:
         batch_nodes = np.asarray(batch_nodes, dtype=np.int64)
         b = len(batch_nodes)
+        if self.negative_mode == "exact":
+            self._prefill_far(batch_nodes)  # batched C++ closure build
         pos_lists = [self.positives(int(v), rng) for v in batch_nodes]
         neg_lists = [self.negatives(int(v), num_neg, rng)
                      for v in batch_nodes]

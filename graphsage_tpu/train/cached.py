@@ -321,6 +321,71 @@ def make_cached_sup_epoch(mcfg: GraphSageConfig, fanout: int = 10,
     return epoch
 
 
+def make_cached_sup_epoch_reuse(mcfg: GraphSageConfig, fanout: int = 10,
+                                lr: float = 0.7, clip: float = 5.0):
+    """Epoch driver that REUSES a caller-held leaf cache instead of
+    refreshing: cache staleness across epochs (``refresh_every`` k > 1)
+    amortizes the refresh — the 1M-node workload's single biggest cost
+    slice (PROFILE_BIGSCALE.json: 375 ms/refresh = 47 ms/step at the
+    honest T=8) — over k epochs.  Sampling semantics: the depth-L subset
+    stays fixed for k epochs instead of 1 (still exactly uniform per
+    draw); depths < L keep fresh per-step sampling.  Quality vs k is
+    measured in STALENESS_r04.json.
+
+    epoch(params, feats, cache_feats, cache_count, neighbors, degrees,
+    batches [T, B], labels [T, B], key, row_masks) -> (params, losses)."""
+    step = make_cached_sup_step(mcfg, fanout=fanout, lr=lr, clip=clip)
+
+    def epoch(params, feats, cache_feats, cache_count, neighbors, degrees,
+              batches, labels, key, row_masks=None):
+        if row_masks is None:
+            row_masks = jnp.ones(batches.shape, jnp.float32)
+
+        def body(carry, xs):
+            p, k = carry
+            batch, lab, rmask = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, feats, cache_feats, cache_count, neighbors,
+                           degrees, batch, lab, sub, rmask)
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(body, (params, key),
+                                           (batches, labels, row_masks))
+        return params, losses
+
+    return epoch
+
+
+def make_cached_unsup_epoch_reuse(mcfg: GraphSageConfig,
+                                  unsup_loss: str = "normal",
+                                  fanout: int = 10, lr: float = 0.7,
+                                  clip: float = 5.0,
+                                  learn_method: str = "unsup",
+                                  q: float = 10.0, margin: float = 3.0):
+    """Unsup/plus_unsup variant of :func:`make_cached_sup_epoch_reuse`
+    (same pair-tensor contract as make_cached_unsup_epoch)."""
+    step = make_cached_unsup_step(mcfg, unsup_loss=unsup_loss,
+                                  fanout=fanout, lr=lr, clip=clip,
+                                  learn_method=learn_method, q=q,
+                                  margin=margin)
+
+    def epoch(params, feats, cache_feats, cache_count, neighbors, degrees,
+              batches, labels, pair_stack, row_masks, key):
+        def body(carry, xs):
+            p, k = carry
+            batch, lab, pairs, rmask = xs
+            k, sub = jax.random.split(k)
+            p, loss = step(p, feats, cache_feats, cache_count, neighbors,
+                           degrees, batch, lab, pairs, sub, rmask)
+            return (p, k), loss
+
+        (params, _), losses = jax.lax.scan(
+            body, (params, key), (batches, labels, pair_stack, row_masks))
+        return params, losses
+
+    return epoch
+
+
 def make_cached_unsup_epoch(mcfg: GraphSageConfig,
                             unsup_loss: str = "normal", fanout: int = 10,
                             lr: float = 0.7, clip: float = 5.0,

@@ -48,6 +48,12 @@ class CachedDistTrainer(CachedTrainer):
                  table_cap: int | None = None,
                  extend_batches: bool = True, mesh: Mesh | None = None,
                  lstm_hybrid: bool = False):
+        if train_cfg.refresh_every != 1:
+            raise ValueError(
+                "refresh_every > 1 (leaf-cache staleness) is a "
+                "single-device cached-pipeline option; the sharded epoch "
+                "fuses its row-shard refresh into the epoch program "
+                "(train/cached_dist.py)")
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
         self.mesh = mesh

@@ -42,7 +42,9 @@ from graphsage_tpu.sampler.compact import _bucket
 from graphsage_tpu.train.cached import (
     cached_forward,
     make_cached_sup_epoch,
+    make_cached_sup_epoch_reuse,
     make_cached_unsup_epoch,
+    make_cached_unsup_epoch_reuse,
     refresh_leaf_cache,
 )
 from graphsage_tpu.train.trainer import TrainConfig, Trainer
@@ -125,7 +127,24 @@ class CachedTrainer(Trainer):
 
         self._refresh_fn = jax.jit(_refresh)
         self._fwd_fn = jax.jit(_fwd)
-        if tcfg.learn_method == "sup":
+        # refresh_every == 1 (default): refresh + scan fused into ONE XLA
+        # program per epoch (round-3 semantics, the benchmarked path).
+        # refresh_every k > 1: a separate refresh program runs every k-th
+        # epoch and the reuse-epoch program consumes the held cache —
+        # staleness amortizes the refresh (train/cached.py reuse drivers).
+        self._stale_cache = None  # (cache_feats, cache_count) when k > 1
+        if tcfg.refresh_every > 1:
+            if tcfg.learn_method == "sup":
+                self._epoch_fn = jax.jit(make_cached_sup_epoch_reuse(
+                    mcfg, fanout=tcfg.fanout, lr=tcfg.lr,
+                    clip=tcfg.clip_norm))
+            else:
+                self._epoch_fn = jax.jit(make_cached_unsup_epoch_reuse(
+                    mcfg, unsup_loss=tcfg.unsup_loss, fanout=tcfg.fanout,
+                    lr=tcfg.lr, clip=tcfg.clip_norm,
+                    learn_method=tcfg.learn_method,
+                    q=self.pair_sampler.q, margin=self.pair_sampler.margin))
+        elif tcfg.learn_method == "sup":
             self._epoch_fn = jax.jit(make_cached_sup_epoch(
                 mcfg, fanout=tcfg.fanout, lr=tcfg.lr, clip=tcfg.clip_norm))
         else:
@@ -134,6 +153,17 @@ class CachedTrainer(Trainer):
                 lr=tcfg.lr, clip=tcfg.clip_norm,
                 learn_method=tcfg.learn_method,
                 q=self.pair_sampler.q, margin=self.pair_sampler.margin))
+
+    def _epoch_cache(self):
+        """The leaf cache for this epoch under refresh_every=k: refreshed
+        on epochs 0, k, 2k, ... and held (stale) in between."""
+        tcfg = self.tcfg
+        if (self._stale_cache is None
+                or self.epoch % tcfg.refresh_every == 0):
+            self._key, k_r = jax.random.split(self._key)
+            self._stale_cache = self._refresh_fn(
+                k_r, self.feats, self.neighbors, self.degrees)
+        return self._stale_cache
 
     # ----------------------------------------------------------- embedding
     def embed_nodes(self, nodes: np.ndarray, sage_params=None) -> np.ndarray:
@@ -197,10 +227,17 @@ class CachedTrainer(Trainer):
             row_masks[t - 1, real_tail:] = 0.0
             labels = self.labels_np[batches].astype(np.int32)
             visited = len(np.unique(order))
-            self.params, losses = self._epoch_fn(
-                self.params, self.feats, self.neighbors, self.degrees,
-                jnp.asarray(batches), jnp.asarray(labels), k_ep,
-                jnp.asarray(row_masks))
+            if tcfg.refresh_every > 1:
+                cache_feats, cache_count = self._epoch_cache()
+                self.params, losses = self._epoch_fn(
+                    self.params, self.feats, cache_feats, cache_count,
+                    self.neighbors, self.degrees, jnp.asarray(batches),
+                    jnp.asarray(labels), k_ep, jnp.asarray(row_masks))
+            else:
+                self.params, losses = self._epoch_fn(
+                    self.params, self.feats, self.neighbors, self.degrees,
+                    jnp.asarray(batches), jnp.asarray(labels), k_ep,
+                    jnp.asarray(row_masks))
         else:
             # extended batches for every learn method (reference
             # src/utils.py:147-149); pair tensors ride the same scan
@@ -211,7 +248,19 @@ class CachedTrainer(Trainer):
                 pbs, b, self.labels_np)
             visited = len({int(v) for pb in pbs
                            for v in pb.unique_nodes[:pb.num_unique]})
-            if tcfg.learn_method == "sup":
+            if tcfg.refresh_every > 1:
+                cache_feats, cache_count = self._epoch_cache()
+                if tcfg.learn_method == "sup":
+                    self.params, losses = self._epoch_fn(
+                        self.params, self.feats, cache_feats, cache_count,
+                        self.neighbors, self.degrees, batches, labels,
+                        k_ep, row_masks)
+                else:
+                    self.params, losses = self._epoch_fn(
+                        self.params, self.feats, cache_feats, cache_count,
+                        self.neighbors, self.degrees, batches, labels,
+                        pair_stack, row_masks, k_ep)
+            elif tcfg.learn_method == "sup":
                 self.params, losses = self._epoch_fn(
                     self.params, self.feats, self.neighbors, self.degrees,
                     batches, labels, k_ep, row_masks)

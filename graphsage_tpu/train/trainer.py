@@ -75,6 +75,12 @@ class TrainConfig:
     # depth bounds how far the host may run ahead.  0 disables (serial
     # reference path).  Bit-identical to serial — see utils/prefetch.py.
     prefetch_depth: int = 2
+    # cached pipeline only: refresh the leaf cache every k epochs instead
+    # of every epoch (k=1, the default, keeps round-3 semantics exactly).
+    # The refresh is the 1M-node workload's biggest cost slice
+    # (PROFILE_BIGSCALE.json); staleness k amortizes it k-fold.  Quality
+    # vs k: STALENESS_r04.json.
+    refresh_every: int = 1
 
     @property
     def num_neg(self) -> int:

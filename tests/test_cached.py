@@ -265,3 +265,79 @@ def test_cached_trainer_lstm_requires_opt_in():
     tr.fit()
     assert np.isfinite(tr.max_vali_f1)
     assert tr.max_vali_f1 > 0
+
+
+def test_reuse_epoch_matches_fused_epoch_given_same_cache():
+    """The reuse-epoch program (cache staleness, refresh_every>1) run with
+    the cache the fused program would have drawn produces bit-identical
+    params/losses: staleness changes WHEN the cache refreshes, never the
+    step math."""
+    from graphsage_tpu.train.cached import (make_cached_sup_epoch,
+                                            make_cached_sup_epoch_reuse,
+                                            refresh_leaf_cache)
+
+    ds = synthetic_power_law(300, 1500, num_feats=12, num_classes=3, seed=0)
+    pad = ds.graph.to_padded()
+    mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"sage": init_graphsage(k1, mcfg),
+              "clf": init_classifier(k2, 8, 3)}
+    feats = jnp.asarray(ds.features)
+    neighbors = jnp.asarray(pad.neighbors)
+    degrees = jnp.asarray(pad.degrees)
+    rng = np.random.RandomState(0)
+    batches = jnp.asarray(rng.randint(0, 300, (4, 32)).astype(np.int32))
+    labels = jnp.take(jnp.asarray(ds.labels.astype(np.int32)), batches,
+                      axis=0)
+    key = jax.random.PRNGKey(9)
+
+    fused = jax.jit(make_cached_sup_epoch(mcfg, fanout=4))
+    p_a, loss_a = fused(params, feats, neighbors, degrees, batches, labels,
+                        key)
+
+    # replay the fused program's internal key split by hand
+    k_cache, k_steps = jax.random.split(key)
+    cache_feats, cache_count = refresh_leaf_cache(k_cache, feats, neighbors,
+                                                  degrees, 4)
+    reuse = jax.jit(make_cached_sup_epoch_reuse(mcfg, fanout=4))
+    p_b, loss_b = reuse(params, feats, cache_feats, cache_count, neighbors,
+                        degrees, batches, labels, k_steps)
+    assert np.allclose(np.asarray(loss_a), np.asarray(loss_b))
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(p_a),
+            jax.tree_util.tree_leaves_with_path(p_b)):
+        assert np.allclose(np.asarray(va), np.asarray(vb)), ka
+
+
+def test_cached_trainer_refresh_every_schedule():
+    """refresh_every=3: the held cache is reused on epochs 1-2 and
+    refreshed on 0 and 3; training still learns."""
+    from graphsage_tpu.train import CachedTrainer, TrainConfig
+
+    ds = synthetic_power_law(200, 900, num_feats=12, num_classes=3, seed=1)
+    mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    tcfg = TrainConfig(epochs=4, b_sz=32, fanout=4, seed=2, verbose=False,
+                       refresh_every=3, clf_epochs=2)
+    tr = CachedTrainer(ds, mcfg, tcfg, extend_batches=False)
+
+    cache_ids = []
+    for ep in range(4):
+        tr.epoch = ep
+        tr.train_epoch()
+        cache_ids.append(id(tr._stale_cache[0]))
+        tr.evaluate()
+    # epochs 0-2 share one cache object; epoch 3 refreshed a new one
+    assert cache_ids[0] == cache_ids[1] == cache_ids[2]
+    assert cache_ids[3] != cache_ids[0]
+    assert 0.0 <= tr.max_vali_f1 <= 1.0
+
+
+def test_cached_dist_trainer_rejects_refresh_every():
+    from graphsage_tpu.train import CachedDistTrainer, TrainConfig
+
+    ds = synthetic_power_law(200, 900, num_feats=12, num_classes=3, seed=1)
+    mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    tcfg = TrainConfig(epochs=1, b_sz=32, fanout=4, refresh_every=2,
+                       verbose=False)
+    with pytest.raises(ValueError, match="refresh_every"):
+        CachedDistTrainer(ds, mcfg, tcfg, extend_batches=False)

@@ -167,3 +167,51 @@ def test_pubmed_fixture_quirks(tmp_path):
     # undirected-ized edges from paper:A | paper:B rows
     adj = _adj_as_sets(ds.graph)
     assert adj[0] == {1, 3} and adj[2] == {1, 3}
+
+
+def _cora_fixture_graph(tmp_path, n=60, n_feats=8, seed=0):
+    """A real-FORMAT cora fixture big enough to train on: binary word
+    vectors + class labels in content-file order, cites pairs."""
+    rng = np.random.RandomState(seed)
+    classes = ["Neural_Networks", "Rule_Learning", "Reinforcement_Learning"]
+    content, cites = [], []
+    for i in range(n):
+        words = rng.randint(0, 2, n_feats)
+        content.append(f"{1000 + i}\t" + "\t".join(map(str, words))
+                       + f"\t{classes[i % 3]}")
+    for i in range(n):
+        for j in rng.choice(n, 3, replace=False):
+            if int(j) != i:
+                cites.append(f"{1000 + i}\t{1000 + int(j)}")
+    _write(tmp_path, "cora.content", "\n".join(content) + "\n")
+    _write(tmp_path, "cora.cites", "\n".join(cites) + "\n")
+
+
+def test_real_content_end_to_end_training(tmp_path):
+    """The turnkey real-content path (VERDICT r03 item 8): real-FORMAT
+    files in a custom --data_root take the real branch all the way through
+    load_dataset -> Trainer for a full epoch + eval — the exact recipe
+    that runs the day the real cora.content lands (README 'Real data')."""
+    _cora_fixture_graph(tmp_path)
+
+    from graphsage_tpu.data import load_dataset
+    from graphsage_tpu.models import GraphSageConfig
+    from graphsage_tpu.train import Trainer, TrainConfig
+
+    ds = load_dataset("cora", seed=824, root=str(tmp_path))
+    assert not ds.synthetic_features, "fixture must take the REAL branch"
+    assert ds.num_nodes == 60 and ds.feature_dim == 8
+
+    mcfg = GraphSageConfig(num_layers=2, input_size=8, out_size=8)
+    tcfg = TrainConfig(epochs=1, b_sz=8, fanout=3, seed=824, verbose=False,
+                       prefetch_depth=0)
+    tr = Trainer(ds, mcfg, tcfg)
+    tr.fit()
+    assert 0.0 <= tr.max_vali_f1 <= 1.0
+
+    # and through the public CLI with --data_root (the documented command)
+    from graphsage_tpu.cli import main
+    rc = main(["--dataSet", "cora", "--data_root", str(tmp_path),
+               "--epochs", "1", "--b_sz", "8", "--fanout", "3",
+               "--hidden", "8", "--quiet"])
+    assert rc == 0

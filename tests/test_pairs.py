@@ -154,3 +154,63 @@ def test_multihost_initialize_reentry_is_noop(monkeypatch):
 
     monkeypatch.setattr(mh.jax.distributed, "initialize", no_coordinator)
     mh.initialize()  # single-process auto-discovery: benign no-op
+
+
+def test_batched_far_lists_match_per_root_path():
+    """gs_far_lists (threaded C++ batch builder) produces bit-identical
+    far lists — same elements, same train order — as the lazy per-root
+    path, so prefill changes cost only (VERDICT r03 item 3)."""
+    from graphsage_tpu.data import synthetic_power_law
+    from graphsage_tpu.native import far_lists_native
+
+    ds = synthetic_power_law(600, 3000, num_feats=4, num_classes=3, seed=2)
+    g = ds.graph
+    train = ds.train_nodes
+    roots = np.random.RandomState(0).choice(train, 40, replace=False)
+    fars = far_lists_native(g.indptr, g.indices, g.num_nodes,
+                            roots.astype(np.int32), 5, train)
+    if fars is None:
+        pytest.skip("native lib unavailable")
+    ps = PairSampler(g, train, negative_mode="exact")
+    for r, far in zip(roots, fars):
+        ref = ps._far_nodes(int(r))
+        assert np.array_equal(far, ref), int(r)
+
+
+def test_prefill_fills_cache_and_preserves_samples():
+    """sample_batch prefills missing far lists in one batched call; the
+    resulting negatives are identical to the lazy path under the same
+    RNG stream (same far lists, same choice draws)."""
+    from graphsage_tpu.data import synthetic_power_law
+
+    ds = synthetic_power_law(500, 2500, num_feats=4, num_classes=3, seed=3)
+    batch = np.random.RandomState(1).choice(ds.train_nodes, 64,
+                                            replace=False)
+
+    ps_a = PairSampler(ds.graph, ds.train_nodes, negative_mode="exact")
+    pb_a = ps_a.sample_batch(batch, num_neg=10,
+                             rng=np.random.RandomState(7))
+    assert len(ps_a._far_cache) >= len(set(batch.tolist()))
+
+    ps_b = PairSampler(ds.graph, ds.train_nodes, negative_mode="exact")
+    for v in batch:  # warm lazily, bypassing prefill
+        ps_b._far_nodes(int(v))
+    pb_b = ps_b.sample_batch(batch, num_neg=10,
+                             rng=np.random.RandomState(7))
+    for field in ("unique_nodes", "pos_q", "pos_mask", "neg_q", "neg_mask",
+                  "node_valid", "target_rows"):
+        assert np.array_equal(getattr(pb_a, field), getattr(pb_b, field)), field
+
+
+def test_auto_negative_mode_is_budget_based(monkeypatch):
+    """auto picks exact/uniform from the measured-cost estimate
+    n_train * edge_slots / (300e6 * cores) vs GS_EXACT_NEG_BUDGET_S."""
+    g = line_graph(100)
+    train = np.arange(100)
+    ps = PairSampler(g, train)  # tiny: trivially exact
+    assert ps.negative_mode == "exact"
+
+    # force the budget below the tiny estimate -> uniform
+    monkeypatch.setenv("GS_EXACT_NEG_BUDGET_S", "0")
+    ps2 = PairSampler(g, train)
+    assert ps2.negative_mode == "uniform"

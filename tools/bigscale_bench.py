@@ -1,9 +1,24 @@
 """10M-edge workload artifact (BASELINE.json config-5 scale) on one chip.
 
+Round-4 rework (VERDICT r03 item 2): honest epoch accounting + the
+staleness lever, measured.
+
+- T is the TRUE epoch length: ceil(train_split / B) — at B=65536 over the
+  ~500k-node train split that is T=8, not the T=20 the round-3 row used
+  (which flattered the refresh amortization by 2.5x).
+- The refresh and the step are measured SEPARATELY (jitted refresh alone;
+  the reuse-epoch program from train/cached.py for step-only), then
+  composed: edges/s at refresh_every=k = T·edges_per_batch /
+  (T·step_only + refresh/k).  k=1 reproduces the fused program's honest
+  number; quality vs k is measured in STALENESS_r04.json (Cora/Pubmed
+  50-epoch F1 held through k=4).
+- A B=131072 row exploits the step's measured structure: the layer-1
+  full-table GEMM pair is ∝N (not ∝B), so doubling the batch amortizes
+  the N-bound slice over 2x the edges.
+
 Generates the 1M-node power-law graph (~100 s of host time — why this row
-is not part of bench.py), runs the flagship cached bf16 pipeline on it,
-and writes BIGSCALE_r03.json.  HBM footprint: feats 2.4 GB f32 +
-cache table 2.4 GB + padded adjacency 128 MB — comfortably on one v5e.
+is not part of bench.py) and writes BIGSCALE_r04.json.  HBM footprint:
+bf16 feats 1.2 GB + cache 1.2 GB + padded adjacency 128 MB.
 
 Run on the TPU (no JAX_PLATFORMS override):  python tools/bigscale_bench.py
 """
@@ -20,14 +35,18 @@ import numpy as np
 
 from bench import _row_from_dt, _setup, _timed
 
-STEPS = 20
+STALENESS_KS = (1, 2, 4, 8)
 
 
 def main():
     import jax
 
     from graphsage_tpu.data import synthetic_power_law
-    from graphsage_tpu.train.cached import make_cached_sup_epoch
+    from graphsage_tpu.train.cached import (
+        make_cached_sup_epoch,
+        make_cached_sup_epoch_reuse,
+        refresh_leaf_cache,
+    )
 
     t0 = time.time()
     ds = synthetic_power_law(1_000_000, 10_000_000, num_feats=602,
@@ -37,42 +56,86 @@ def main():
     print(f"# generated 1M nodes / {int(pad.true_degrees.sum())} edge slots "
           f"in {gen_s:.0f}s", file=sys.stderr)
 
+    train_split = ds.num_nodes // 2  # loaders split: ~half train
     rows = []
-    for batch, dtype in [(65536, "bfloat16"), (32768, "bfloat16")]:
+    refresh_ms = None
+    for batch in (65536, 131072):
+        steps = -(-train_split // batch)  # honest T
+        dtype = "bfloat16"
         (mcfg, params, feats, neighbors, degrees, batches,
-         labels) = _setup(ds, pad, dtype, batch, STEPS, 128)
-        epoch_fn = jax.jit(make_cached_sup_epoch(mcfg, fanout=10))
-        dt, reps = _timed(epoch_fn, (params, feats, neighbors, degrees,
-                                     batches, labels,
-                                     jax.random.PRNGKey(824)), STEPS)
+         labels) = _setup(ds, pad, dtype, batch, steps, 128)
+        key = jax.random.PRNGKey(824)
+
+        # refresh alone (same jitted body the epoch programs inline)
+        if refresh_ms is None:
+            refresh_fn = jax.jit(lambda k: refresh_leaf_cache(
+                k, feats, neighbors, degrees, 10))
+            cache = refresh_fn(key)
+            np.asarray(cache[1])
+            reps = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                cache = refresh_fn(key)
+                np.asarray(cache[1])
+                reps.append(time.perf_counter() - t1)
+            refresh_ms = float(np.median(reps)) * 1e3
+            print(f"# refresh alone: {refresh_ms:.1f} ms", file=sys.stderr)
+        else:
+            cache = refresh_fn(key)
+
+        # step-only: the reuse-epoch program over the held cache
+        reuse_fn = jax.jit(make_cached_sup_epoch_reuse(mcfg, fanout=10))
+        dt_step, reps_step = _timed(
+            reuse_fn, (params, feats, cache[0], cache[1], neighbors,
+                       degrees, batches, labels, key), steps)
+
+        # fused (refresh inside, k=1) at honest T — the directly-measured
+        # baseline the composition must reproduce
+        fused_fn = jax.jit(make_cached_sup_epoch(mcfg, fanout=10))
+        dt_fused, reps_fused = _timed(
+            fused_fn, (params, feats, neighbors, degrees, batches, labels,
+                       key), steps)
+
         row = _row_from_dt(f"powerlaw1M_b{batch}_cached_{dtype}", "cached",
-                           dtype, batch, ds, pad, dt, 10, 128)
-        row["rep_step_ms"] = [round(r * 1000, 3) for r in reps]
+                           dtype, batch, ds, pad, dt_fused, 10, 128)
+        edges = row["edges_per_sec"] * dt_fused  # edges per step unit
+        row.update({
+            "honest_T": steps,
+            "rep_step_ms": [round(r * 1e3, 3) for r in reps_fused],
+            "steponly_ms": round(dt_step * 1e3, 3),
+            "steponly_rep_ms": [round(r * 1e3, 3) for r in reps_step],
+            "refresh_ms_per_epoch": round(refresh_ms, 1),
+            "staleness_edges_per_sec": {
+                f"k{k}": round(edges / (dt_step + refresh_ms / 1e3
+                                        / (k * steps)), 1)
+                for k in STALENESS_KS},
+        })
         rows.append(row)
         print("#", json.dumps(row), file=sys.stderr)
 
-    # unsup (normal) at scale: encode + gathered pair loss each step
-    # (round-3 ops/sddmm.pair_loss_scores path; production pair shapes)
+    # unsup (normal) at scale, honest T for B=32768
     from bench import run_unsup_row
     row = run_unsup_row("powerlaw1M_b32768_cached_bfloat16_unsup", ds, pad,
-                        32768, "bfloat16", steps=STEPS)
+                        32768, "bfloat16", steps=-(-train_split // 32768))
     rows.append(row)
     print("#", json.dumps(row), file=sys.stderr)
 
     out = {
         "workload": {"nodes": ds.num_nodes,
                      "edge_slots": int(pad.true_degrees.sum()),
-                     "feat_dim": 602, "hidden": 128, "fanout": 10},
+                     "feat_dim": 602, "hidden": 128, "fanout": 10,
+                     "train_split": train_split},
         "host_generation_s": round(gen_s, 1),
-        "note": ("BASELINE config-5 scale on ONE chip; the epoch cache "
-                 "refresh (all 1M nodes, lax.scan node blocks bounding the "
-                 "gather temp) is inside the timed scan.  The layer-1 cost "
-                 "model picks full-table mode at these shapes (352M vs "
-                 "868M random-access units at B=65536): sequential "
-                 "table GEMM over all 1M rows + narrow [H] gathers"),
+        "note": ("BASELINE config-5 scale on ONE chip, HONEST epoch "
+                 "accounting: T = ceil(train_split/B), refresh measured "
+                 "separately from the step (round-3's T=20 flattered the "
+                 "refresh amortization).  staleness_edges_per_sec composes "
+                 "step-only + refresh/k for refresh_every=k "
+                 "(train/cached.py reuse drivers; quality vs k in "
+                 "STALENESS_r04.json)."),
         "rows": rows,
     }
-    with open("BIGSCALE_r03.json", "w") as f:
+    with open("BIGSCALE_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(rows[0]))
 

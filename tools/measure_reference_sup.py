@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--b_sz", type=int, default=20)
     ap.add_argument("--seed", type=int, default=824)
     ap.add_argument("--agg_func", default="MEAN", choices=["MEAN", "MAX"])
+    ap.add_argument("--dataSet", default="cora", choices=["cora", "pubmed"])
+    ap.add_argument("--data_root", default=None,
+                    help="directory holding the REAL content files "
+                         "(cora.content+cora.cites / NODE.paper.tab+"
+                         "DIRECTED.cites.tab); the loader takes the real "
+                         "branch automatically — the turnkey parity recipe "
+                         "(README 'Real data')")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -65,19 +72,21 @@ def main():
     np.random.seed(args.seed)
     torch.manual_seed(args.seed)
 
-    from graphsage_tpu.data import load_cora
-    ds = load_cora()
+    from graphsage_tpu.data import load_cora, load_pubmed
+    loader = load_cora if args.dataSet == "cora" else load_pubmed
+    kw = {"root": args.data_root} if args.data_root else {}
+    ds = loader(seed=args.seed, **kw)
     adj = defaultdict(set)
     for v in range(ds.graph.num_nodes):
         adj[v] = set(int(x) for x in ds.graph.neighbors(v))
 
-    dc = SimpleNamespace(
-        cora_test=np.asarray(ds.test_nodes),
-        cora_val=np.asarray(ds.val_nodes),
-        cora_train=np.asarray(ds.train_nodes),
-        cora_labels=np.asarray(ds.labels),
-        cora_adj_lists=adj,
-    )
+    dc = SimpleNamespace()
+    for attr, val in (("test", np.asarray(ds.test_nodes)),
+                      ("val", np.asarray(ds.val_nodes)),
+                      ("train", np.asarray(ds.train_nodes)),
+                      ("labels", np.asarray(ds.labels)),
+                      ("adj_lists", adj)):
+        setattr(dc, f"{args.dataSet}_{attr}", val)
 
     device = torch.device("cpu")
     feats = torch.FloatTensor(ds.features)
@@ -93,11 +102,11 @@ def main():
     for epoch in range(args.epochs):
         print(f"--------EPOCH {epoch}--------", flush=True)
         graphSage, classification = ref_utils.apply_model(
-            dc, "cora", graphSage, classification, unsup, args.b_sz,
+            dc, args.dataSet, graphSage, classification, unsup, args.b_sz,
             "normal", device, "sup")
         max_vali_f1 = ref_utils.evaluate(
-            dc, "cora", graphSage, classification, device, max_vali_f1,
-            "ref_sup", epoch)
+            dc, args.dataSet, graphSage, classification, device,
+            max_vali_f1, "ref_sup", epoch)
         print(f"epoch {epoch}: best val F1 {max_vali_f1:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
@@ -106,7 +115,9 @@ def main():
         "protocol": (f"sup, {args.epochs} epochs, b_sz {args.b_sz}, "
                      f"agg {args.agg_func}, evaluate (best-val->test) "
                      f"per epoch"),
-        "dataset": "cora (real citation graph, synthesized content)",
+        "dataset": (f"{args.dataSet} (real citation graph, "
+                    + ("synthesized content)" if ds.synthetic_features
+                       else f"REAL content from {args.data_root})")),
         "seed": args.seed,
         "agg_func": args.agg_func,
         "best_val_f1": round(max_vali_f1, 4),
