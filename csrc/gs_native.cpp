@@ -332,6 +332,78 @@ int gs_far_lists(const int32_t* indptr, const int32_t* indices,
   return 0;
 }
 
+// Batched uniform negative sampling (the large-graph approximation mode of
+// sampler/pairs.py): for each node, num_neg train nodes drawn uniformly
+// WITHOUT replacement excluding the node and its 1-hop neighborhood.
+// out [n * num_neg] (int32, row-major), valid [n * num_neg] (0/1).
+// Rejection sampling against a byte-mark scratch (O(deg + num_neg)
+// expected per node); falls back to a full scan + partial Fisher-Yates
+// when the valid pool is small relative to the ask (guaranteed exact
+// uniform-without-replacement either way).
+int gs_uniform_negatives(const int32_t* indptr, const int32_t* indices,
+                         int32_t num_nodes, const int32_t* train,
+                         int32_t n_train, const int32_t* nodes, int32_t n,
+                         int32_t num_neg, uint64_t seed, int32_t* out,
+                         uint8_t* valid) {
+  Rng rng(seed);
+  std::vector<uint8_t> is_train((size_t)num_nodes, 0);
+  for (int32_t i = 0; i < n_train; ++i) is_train[train[i]] = 1;
+  std::vector<uint8_t> mark((size_t)num_nodes, 0);
+  std::vector<int32_t> picked;
+  std::vector<int32_t> pool;
+  picked.reserve(num_neg);
+
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t v = nodes[i];
+    int64_t bad_in_train = 0;
+    if (!mark[v]) {
+      mark[v] = 1;
+      if (is_train[v]) ++bad_in_train;
+    }
+    for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+      int32_t u = indices[e];
+      if (!mark[u]) {
+        mark[u] = 1;
+        if (is_train[u]) ++bad_in_train;
+      }
+    }
+    int64_t avail = (int64_t)n_train - bad_in_train;
+    int32_t want = (int32_t)(avail < num_neg ? (avail < 0 ? 0 : avail)
+                                             : num_neg);
+    picked.clear();
+    if ((int64_t)want * 4 >= avail) {
+      // dense ask: collect the valid pool and partial-Fisher-Yates it
+      pool.clear();
+      for (int32_t t = 0; t < n_train; ++t)
+        if (!mark[train[t]]) pool.push_back(train[t]);
+      for (int32_t k = 0; k < want; ++k) {
+        int32_t j = k + (int32_t)rng.bounded((uint32_t)(pool.size() - k));
+        std::swap(pool[k], pool[j]);
+        picked.push_back(pool[k]);
+      }
+    } else {
+      while ((int32_t)picked.size() < want) {
+        int32_t u = train[rng.bounded((uint32_t)n_train)];
+        if (mark[u]) continue;
+        mark[u] = 1;
+        picked.push_back(u);
+      }
+    }
+    int32_t* row = out + (int64_t)i * num_neg;
+    uint8_t* vrow = valid + (int64_t)i * num_neg;
+    for (int32_t k = 0; k < num_neg; ++k) {
+      row[k] = k < want ? picked[k] : 0;
+      vrow[k] = k < want;
+    }
+    // unmark scratch for the next node
+    mark[v] = 0;
+    for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
+      mark[indices[e]] = 0;
+    for (int32_t p : picked) mark[p] = 0;
+  }
+  return 0;
+}
+
 // Uniform fanout-sampling of presampled index tables for the dense path:
 // for each of `n` nodes, sample min(deg, fanout) distinct neighbors into
 // out [n, fanout] (pad 0) and valid counts into counts [n].

@@ -4,6 +4,7 @@ from graphsage_tpu.native.engine import (
     bfs_closure_native,
     far_lists_native,
     sample_fanout_native,
+    uniform_negatives_native,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "bfs_closure_native",
     "far_lists_native",
     "sample_fanout_native",
+    "uniform_negatives_native",
 ]

@@ -58,7 +58,12 @@ def _load():
             ctypes.c_int32, i32p, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p,
         ]
-    except AttributeError:  # stale .so predating the batched builder
+        lib.gs_uniform_negatives.restype = ctypes.c_int
+        lib.gs_uniform_negatives.argtypes = [
+            i32p, i32p, ctypes.c_int32, i32p, ctypes.c_int32, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, i32p, u8p,
+        ]
+    except AttributeError:  # stale .so predating the batched samplers
         pass
     _LIB = lib
     return _LIB
@@ -175,6 +180,30 @@ def far_lists_native(indptr: np.ndarray, indices: np.ndarray,
         out.extend(far_buf[i, :counts[i]].copy()
                    for i in range(len(part)))
     return out
+
+
+def uniform_negatives_native(indptr: np.ndarray, indices: np.ndarray,
+                             num_nodes: int, train: np.ndarray,
+                             nodes: np.ndarray, num_neg: int, seed: int):
+    """Batched uniform negatives (train∖{node, 1-hop}, w/o replacement):
+    (neg [n, num_neg] int32, valid [n, num_neg] bool) or None."""
+    lib = _load()
+    if not lib or not hasattr(lib, "gs_uniform_negatives"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    train = np.ascontiguousarray(train, dtype=np.int32)
+    nodes = np.ascontiguousarray(nodes, dtype=np.int32)
+    out = np.zeros((len(nodes), num_neg), dtype=np.int32)
+    valid = np.zeros((len(nodes), num_neg), dtype=np.uint8)
+    lib.gs_uniform_negatives(
+        _p(indptr, ctypes.c_int32), _p(indices, ctypes.c_int32),
+        np.int32(num_nodes), _p(train, ctypes.c_int32),
+        np.int32(len(train)), _p(nodes, ctypes.c_int32),
+        np.int32(len(nodes)), np.int32(num_neg),
+        ctypes.c_uint64(seed & (2**64 - 1)), _p(out, ctypes.c_int32),
+        _p(valid, ctypes.c_uint8))
+    return out, valid.astype(bool)
 
 
 def sample_fanout_native(indptr: np.ndarray, indices: np.ndarray,

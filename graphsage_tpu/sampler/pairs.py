@@ -186,11 +186,28 @@ class PairSampler:
         positives from doubling as negatives on the same pair)."""
         if self.negative_mode == "uniform":
             cand = self.train_nodes
-            bad = np.concatenate([[node], self.graph.neighbors(node)])
-            draw = min(num_neg + len(bad), len(cand))
-            picks = rng.choice(cand, size=draw, replace=False)
-            picks = picks[~np.isin(picks, bad)][:num_neg]
-            return picks
+            bad = {int(node)}
+            bad.update(int(v) for v in self.graph.neighbors(node))
+            want = min(num_neg, max(0, len(cand) - len(bad)))
+            # rejection sampling: exactly uniform without replacement over
+            # cand∖bad at O(num_neg) expected cost.  The previous
+            # rng.choice(replace=False) built an O(n_train) permutation
+            # PER NODE — measured 3.3 s/4096-node batch at 100k-node scale
+            # (PAIRS_SCALE_r04.json uniform row), 7x slower than warm
+            # exact mode despite being the "cheap" large-graph path.
+            out: list[int] = []
+            seen: set[int] = set()
+            while len(out) < want:
+                for d in rng.randint(0, len(cand),
+                                     size=2 * (want - len(out)) + 8):
+                    v = int(cand[d])
+                    if v in bad or v in seen:
+                        continue
+                    seen.add(v)
+                    out.append(v)
+                    if len(out) == want:
+                        break
+            return np.asarray(out, dtype=self.train_nodes.dtype)
         far = self._far_nodes(node)
         if num_neg < len(far):
             return rng.choice(far, size=num_neg, replace=False)
@@ -216,6 +233,51 @@ class PairSampler:
                 curr = nxt
         return out
 
+    # ---- batched padded samplers ----------------------------------------
+    def _positives_padded(self, batch_nodes: np.ndarray,
+                          rng: np.random.RandomState):
+        """(pos [B, P] int64, mask [B, P] bool) — python walks (cheap; the
+        per-walk neighbor access dominates and is already O(1) per step)."""
+        b = len(batch_nodes)
+        p_max = max(1, self.n_walks * self.walk_len)
+        pos = np.zeros((b, p_max), np.int64)
+        mask = np.zeros((b, p_max), bool)
+        for i, v in enumerate(batch_nodes):
+            plist = self.positives(int(v), rng)[:p_max]
+            pos[i, :len(plist)] = plist
+            mask[i, :len(plist)] = True
+        return pos, mask
+
+    def _negatives_padded(self, batch_nodes: np.ndarray, num_neg: int,
+                          rng: np.random.RandomState):
+        """(neg [B, M] int64, mask [B, M] bool).  Uniform mode batches
+        through the C++ rejection sampler (gs_uniform_negatives) — the
+        python per-node path measured 705 ms/4096-node batch at 100k-node
+        scale (PAIRS_SCALE_r04.json); exact mode loops over the (prefilled)
+        cached far lists."""
+        b = len(batch_nodes)
+        m_max = max(1, num_neg)
+        if self.negative_mode == "uniform" and num_neg >= 1:
+            try:
+                from graphsage_tpu.native import uniform_negatives_native
+                g = self.graph
+                got = uniform_negatives_native(
+                    g.indptr, g.indices, g.num_nodes, self.train_nodes,
+                    np.asarray(batch_nodes, dtype=np.int32), m_max,
+                    seed=int(rng.randint(2**31)))
+            except Exception:
+                got = None
+            if got is not None:
+                neg32, valid = got
+                return neg32.astype(np.int64), valid
+        neg = np.zeros((b, m_max), np.int64)
+        mask = np.zeros((b, m_max), bool)
+        for i, v in enumerate(batch_nodes):
+            nlist = self.negatives(int(v), num_neg, rng)[:m_max]
+            neg[i, :len(nlist)] = nlist
+            mask[i, :len(nlist)] = True
+        return neg, mask
+
     # ---- batch extension + tensorization (reference src/models.py:135-148)
     def sample_batch(self, batch_nodes: np.ndarray, num_neg: int,
                      rng: np.random.RandomState) -> PairBatch:
@@ -223,67 +285,48 @@ class PairSampler:
         b = len(batch_nodes)
         if self.negative_mode == "exact":
             self._prefill_far(batch_nodes)  # batched C++ closure build
-        pos_lists = [self.positives(int(v), rng) for v in batch_nodes]
-        neg_lists = [self.negatives(int(v), num_neg, rng)
-                     for v in batch_nodes]
+        pos, pos_maskb = self._positives_padded(batch_nodes, rng)
+        neg, neg_maskb = self._negatives_padded(batch_nodes, num_neg, rng)
 
-        # extended batch = union of endpoints, first-seen order; targets are
-        # endpoints of their own pairs, and are force-included even when a
-        # node has no pairs at all so target_rows stays well-defined.
-        unique: list[int] = []
-        pos_map: dict[int, int] = {}
+        # extended batch = union of endpoints, FIRST-SEEN order over the
+        # sequence [batch, positives row-major, negatives row-major];
+        # targets are endpoints of their own pairs and are force-included
+        # even with no pairs so target_rows stays well-defined.  Vectorized
+        # (np.unique + first-occurrence rank): the per-pair python dict
+        # build measured 537 ms/4096-node batch (PAIRS_SCALE_r04.json).
+        pos_flat = pos[pos_maskb]
+        neg_flat = neg[neg_maskb]
+        all_ids = np.concatenate([batch_nodes, pos_flat, neg_flat])
+        uniq_sorted, first_idx, inverse = np.unique(
+            all_ids, return_index=True, return_inverse=True)
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty(len(uniq_sorted), np.int64)
+        rank[order] = np.arange(len(uniq_sorted))
+        rows_all = rank[inverse]
+        n_unique = len(uniq_sorted)
 
-        def row(n: int) -> int:
-            r = pos_map.get(n)
-            if r is None:
-                r = len(unique)
-                pos_map[n] = r
-                unique.append(n)
-            return r
-
-        for v in batch_nodes:
-            row(int(v))
-        for v, plist in zip(batch_nodes, pos_lists):
-            for p in plist:
-                row(int(p))
-        for v, nlist in zip(batch_nodes, neg_lists):
-            for ng in nlist:
-                row(int(ng))
-
-        u_pad = _bucket(len(unique))
+        u_pad = _bucket(n_unique)
         unique_arr = np.zeros(u_pad, dtype=np.int32)
-        unique_arr[:len(unique)] = unique
+        unique_arr[:n_unique] = uniq_sorted[order]
 
-        p_max = max(1, self.n_walks * self.walk_len)
-        m_max = max(1, num_neg)
-        pos_p = np.zeros((b, p_max), np.int32)
+        target_rows = rows_all[:b].astype(np.int32)
+        p_max, m_max = pos.shape[1], neg.shape[1]
         pos_q = np.zeros((b, p_max), np.int32)
-        pos_mask = np.zeros((b, p_max), np.float32)
-        neg_p = np.zeros((b, m_max), np.int32)
+        pos_q[pos_maskb] = rows_all[b:b + len(pos_flat)]
         neg_q = np.zeros((b, m_max), np.int32)
-        neg_mask = np.zeros((b, m_max), np.float32)
-        node_valid = np.zeros(b, np.float32)
-        target_rows = np.array([pos_map[int(v)] for v in batch_nodes],
-                               dtype=np.int32)
-
-        for i, (v, plist, nlist) in enumerate(
-                zip(batch_nodes, pos_lists, neg_lists)):
-            vr = pos_map[int(v)]
-            for j, p in enumerate(plist[:p_max]):
-                pos_p[i, j] = vr
-                pos_q[i, j] = pos_map[int(p)]
-                pos_mask[i, j] = 1.0
-            for j, ng in enumerate(nlist[:m_max]):
-                neg_p[i, j] = vr
-                neg_q[i, j] = pos_map[int(ng)]
-                neg_mask[i, j] = 1.0
-            # loss skips nodes lacking either side (src/models.py:75-76)
-            node_valid[i] = float(len(plist) > 0 and len(nlist) > 0)
+        neg_q[neg_maskb] = rows_all[b + len(pos_flat):]
+        pos_p = np.where(pos_maskb, target_rows[:, None], 0).astype(np.int32)
+        neg_p = np.where(neg_maskb, target_rows[:, None], 0).astype(np.int32)
+        # loss skips nodes lacking either side (src/models.py:75-76)
+        node_valid = (pos_maskb.any(axis=1)
+                      & neg_maskb.any(axis=1)).astype(np.float32)
 
         return PairBatch(
-            unique_nodes=unique_arr, num_unique=len(unique),
+            unique_nodes=unique_arr, num_unique=n_unique,
             target_rows=target_rows,
-            pos_p=pos_p, pos_q=pos_q, pos_mask=pos_mask,
-            neg_p=neg_p, neg_q=neg_q, neg_mask=neg_mask,
+            pos_p=pos_p, pos_q=pos_q,
+            pos_mask=pos_maskb.astype(np.float32),
+            neg_p=neg_p, neg_q=neg_q,
+            neg_mask=neg_maskb.astype(np.float32),
             node_valid=node_valid,
         )

@@ -203,9 +203,34 @@ def _sharded_forward(pp, mcfg: GraphSageConfig, x_local, cache_local,
                          mcfg.gcn)
 
 
+def make_cached_dist_refresh(mcfg: GraphSageConfig, mesh: Mesh,
+                             fanout: int = 10, axis: str = "data"):
+    """Standalone sharded leaf-cache refresh for refresh_every=k > 1
+    (cache staleness on the sharded pipeline, mirroring train/cached.py's
+    reuse drivers): each device draws + aggregates its OWN N/P-row range.
+
+    refresh(key, feats, neighbors, degrees) -> (cache [N, D] row-sharded,
+    cnt [N] row-sharded) — feed both to the reuse-mode epoch program."""
+    n_dev = mesh.shape[axis]
+    is_max = mcfg.agg_func == "MAX"
+
+    def local_refresh(key, feats, neighbors, degrees):
+        idx = jax.lax.axis_index(axis)
+        _, cache_local, cnt_local = _local_refresh(
+            key, feats, neighbors, degrees, fanout, is_max, idx, n_dev)
+        return cache_local, cnt_local
+
+    sharded = shard_map(
+        local_refresh, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis)))
+    return jax.jit(sharded)
+
+
 def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
                            fanout: int = 10, lr: float = 0.7,
-                           clip: float = 5.0, axis: str = "data"):
+                           clip: float = 5.0, axis: str = "data",
+                           reuse_cache: bool = False):
     """Sharded supervised cached-epoch program.
 
     epoch(params, feats, neighbors, degrees, batches [T, n_dev, b_loc],
@@ -213,6 +238,11 @@ def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
     -> (params, losses [T]).  params/tables replicated; batch tensors
     sharded over ``axis``; tables must be pre-padded to a multiple of
     n_dev rows (pad_node_tables).
+
+    ``reuse_cache=True`` (refresh_every=k > 1): the program takes
+    (cache [N, D], cnt [N]) row-sharded inputs after ``degrees`` instead
+    of refreshing — epoch(params, feats, neighbors, degrees, cache, cnt,
+    batches, labels, row_masks, key).
     """
     n_dev = mesh.shape[axis]
     is_max = mcfg.agg_func == "MAX"
@@ -220,14 +250,23 @@ def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
     # cache (is_max False), live LSTM cells in _upper_layers.
     assert mcfg.agg_func in ("MEAN", "MAX", "LSTM"), mcfg.agg_func
 
-    def local_epoch(params, feats, neighbors, degrees, batches, labels,
-                    row_masks, key):
+    def local_epoch(params, feats, neighbors, degrees, *rest):
+        if reuse_cache:
+            cache_local, cnt_local, batches, labels, row_masks, key = rest
+            rows_per = feats.shape[0] // n_dev
+            idx = jax.lax.axis_index(axis)
+            x_local = jax.lax.dynamic_slice_in_dim(
+                feats, idx * rows_per, rows_per, axis=0)
+            k_steps = key
+        else:
+            batches, labels, row_masks, key = rest
+            idx = jax.lax.axis_index(axis)
+            k_cache, k_steps = jax.random.split(key)
+            x_local, cache_local, cnt_local = _local_refresh(
+                k_cache, feats, neighbors, degrees, fanout, is_max, idx,
+                n_dev)
         batches = batches[:, 0]                    # [T, b_loc] local shard
         labels, row_masks = labels[:, 0], row_masks[:, 0]
-        idx = jax.lax.axis_index(axis)
-        k_cache, k_steps = jax.random.split(key)
-        x_local, cache_local, cnt_local = _local_refresh(
-            k_cache, feats, neighbors, degrees, fanout, is_max, idx, n_dev)
 
         def step(p, batch, lab, rmask, k_dev):
             def loss_fn(pp):
@@ -259,10 +298,12 @@ def make_cached_dist_epoch(mcfg: GraphSageConfig, mesh: Mesh,
             body, (params, k_steps), (batches, labels, row_masks))
         return params, losses
 
+    stack_specs = (P(None, axis, None), P(None, axis, None),
+                   P(None, axis, None), P())
+    cache_specs = (P(axis, None), P(axis)) if reuse_cache else ()
     sharded = shard_map(
         local_epoch, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(None, axis, None),
-                  P(None, axis, None), P(None, axis, None), P()),
+        in_specs=(P(), P(), P(), P()) + cache_specs + stack_specs,
         out_specs=(P(), P()),
     )
     return jax.jit(sharded)
@@ -274,7 +315,8 @@ def make_cached_dist_unsup_epoch(mcfg: GraphSageConfig, mesh: Mesh,
                                  clip: float = 5.0,
                                  learn_method: str = "unsup",
                                  q: float = 10.0, margin: float = 3.0,
-                                 axis: str = "data"):
+                                 axis: str = "data",
+                                 reuse_cache: bool = False):
     """Sharded unsup / plus_unsup cached-epoch program (reference dispatch
     src/utils.py:159-181): each device encodes its own EXTENDED batch
     (pair-endpoint union, src/models.py:135-148), computes the pair loss
@@ -285,6 +327,9 @@ def make_cached_dist_unsup_epoch(mcfg: GraphSageConfig, mesh: Mesh,
     labels [T, n_dev, U], row_masks [T, n_dev, U],
     pair_stack {field: [T, n_dev, ...]}, key) -> (params, losses [T]).
     Build the stacks with build_unsup_epoch_stack.
+
+    ``reuse_cache=True``: takes (cache [N, D], cnt [N]) row-sharded after
+    ``degrees`` instead of refreshing (see make_cached_dist_epoch).
     """
     n_dev = mesh.shape[axis]
     is_max = mcfg.agg_func == "MAX"
@@ -292,15 +337,25 @@ def make_cached_dist_unsup_epoch(mcfg: GraphSageConfig, mesh: Mesh,
     # cache (is_max False), live LSTM cells in _upper_layers.
     assert mcfg.agg_func in ("MEAN", "MAX", "LSTM"), mcfg.agg_func
 
-    def local_epoch(params, feats, neighbors, degrees, batches, labels,
-                    row_masks, pair_stack, key):
+    def local_epoch(params, feats, neighbors, degrees, *rest):
+        if reuse_cache:
+            (cache_local, cnt_local, batches, labels, row_masks,
+             pair_stack, key) = rest
+            rows_per = feats.shape[0] // n_dev
+            idx = jax.lax.axis_index(axis)
+            x_local = jax.lax.dynamic_slice_in_dim(
+                feats, idx * rows_per, rows_per, axis=0)
+            k_steps = key
+        else:
+            batches, labels, row_masks, pair_stack, key = rest
+            idx = jax.lax.axis_index(axis)
+            k_cache, k_steps = jax.random.split(key)
+            x_local, cache_local, cnt_local = _local_refresh(
+                k_cache, feats, neighbors, degrees, fanout, is_max, idx,
+                n_dev)
         batches = batches[:, 0]                    # [T, U] local shard
         labels, row_masks = labels[:, 0], row_masks[:, 0]
         pair_stack = {k: v[:, 0] for k, v in pair_stack.items()}
-        idx = jax.lax.axis_index(axis)
-        k_cache, k_steps = jax.random.split(key)
-        x_local, cache_local, cnt_local = _local_refresh(
-            k_cache, feats, neighbors, degrees, fanout, is_max, idx, n_dev)
 
         def step(p, batch, lab, rmask, pairs, k_dev):
             def loss_fn(pp):
@@ -333,11 +388,12 @@ def make_cached_dist_unsup_epoch(mcfg: GraphSageConfig, mesh: Mesh,
                                       pair_stack))
         return params, losses
 
+    stack_specs = (P(None, axis, None), P(None, axis, None),
+                   P(None, axis, None), P(None, axis), P())
+    cache_specs = (P(axis, None), P(axis)) if reuse_cache else ()
     sharded = shard_map(
         local_epoch, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(None, axis, None),
-                  P(None, axis, None), P(None, axis, None),
-                  P(None, axis), P()),
+        in_specs=(P(), P(), P(), P()) + cache_specs + stack_specs,
         out_specs=(P(), P()),
     )
     return jax.jit(sharded)

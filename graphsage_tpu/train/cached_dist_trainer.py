@@ -29,6 +29,7 @@ from graphsage_tpu.train.cached_dist import (
     build_epoch_stack,
     build_unsup_epoch_stack,
     make_cached_dist_epoch,
+    make_cached_dist_refresh,
     make_cached_dist_unsup_epoch,
     pad_node_tables,
 )
@@ -48,12 +49,6 @@ class CachedDistTrainer(CachedTrainer):
                  table_cap: int | None = None,
                  extend_batches: bool = True, mesh: Mesh | None = None,
                  lstm_hybrid: bool = False):
-        if train_cfg.refresh_every != 1:
-            raise ValueError(
-                "refresh_every > 1 (leaf-cache staleness) is a "
-                "single-device cached-pipeline option; the sharded epoch "
-                "fuses its row-shard refresh into the epoch program "
-                "(train/cached_dist.py)")
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
         self.mesh = mesh
@@ -78,16 +73,26 @@ class CachedDistTrainer(CachedTrainer):
         self.degrees = jnp.asarray(degrees)
 
         tcfg, mcfg = self.tcfg, self.mcfg
+        # refresh_every k > 1: a standalone sharded refresh runs every
+        # k-th epoch; the reuse-mode epoch program consumes the held
+        # row-sharded cache (train/cached_dist.py; mirrors the
+        # single-device staleness path in cached_trainer.py)
+        reuse = tcfg.refresh_every > 1
+        self._dist_stale_cache = None
+        if reuse:
+            self._dist_refresh = make_cached_dist_refresh(
+                mcfg, mesh, fanout=tcfg.fanout)
         if tcfg.learn_method == "sup":
             self._dist_epoch = make_cached_dist_epoch(
                 mcfg, mesh, fanout=tcfg.fanout, lr=tcfg.lr,
-                clip=tcfg.clip_norm)
+                clip=tcfg.clip_norm, reuse_cache=reuse)
         else:
             self._dist_epoch = make_cached_dist_unsup_epoch(
                 mcfg, mesh, unsup_loss=tcfg.unsup_loss, fanout=tcfg.fanout,
                 lr=tcfg.lr, clip=tcfg.clip_norm,
                 learn_method=tcfg.learn_method,
-                q=self.pair_sampler.q, margin=self.pair_sampler.margin)
+                q=self.pair_sampler.q, margin=self.pair_sampler.margin,
+                reuse_cache=reuse)
         self._repl = NamedSharding(mesh, P())
         self._warmed = False  # first sharded epoch runs under the watchdog
         dist_epoch = self._dist_epoch
@@ -107,10 +112,22 @@ class CachedDistTrainer(CachedTrainer):
         self._dist_epoch = guarded
 
     # --------------------------------------------------------------- train
+    def _dist_epoch_cache(self):
+        """Row-sharded leaf cache under refresh_every=k: refreshed on
+        epochs 0, k, 2k, ... and held (stale) in between."""
+        if (self._dist_stale_cache is None
+                or self.epoch % self.tcfg.refresh_every == 0):
+            self._key, k_r = jax.random.split(self._key)
+            self._dist_stale_cache = self._dist_refresh(
+                k_r, self.feats, self.neighbors, self.degrees)
+        return self._dist_stale_cache
+
     def train_epoch(self) -> float:
         tcfg = self.tcfg
         self._key, k_ep = jax.random.split(self._key)
         params = jax.device_put(self.params, self._repl)
+        cache = (self._dist_epoch_cache() if tcfg.refresh_every > 1
+                 else ())
 
         if tcfg.learn_method == "sup" and not self.extend_batches:
             batches, labels, row_masks = build_epoch_stack(
@@ -118,7 +135,7 @@ class CachedDistTrainer(CachedTrainer):
                 tcfg.b_sz, self.rng)
             visited = len(np.unique(self.ds.train_nodes))
             self.params, losses = self._dist_epoch(
-                params, self.feats, self.neighbors, self.degrees,
+                params, self.feats, self.neighbors, self.degrees, *cache,
                 jnp.asarray(batches), jnp.asarray(labels),
                 jnp.asarray(row_masks), k_ep)
         else:
@@ -134,11 +151,11 @@ class CachedDistTrainer(CachedTrainer):
                 # src/utils.py:147-157 semantics), pair tensors unused
                 self.params, losses = self._dist_epoch(
                     params, self.feats, self.neighbors, self.degrees,
-                    batches, labels, row_masks, k_ep)
+                    *cache, batches, labels, row_masks, k_ep)
             else:
                 self.params, losses = self._dist_epoch(
                     params, self.feats, self.neighbors, self.degrees,
-                    batches, labels, row_masks, pair_stack, k_ep)
+                    *cache, batches, labels, row_masks, pair_stack, k_ep)
 
         # the epoch fetch is the steady-state sync — deadline-guarded
         # against the observed mid-run RPC wedge (utils/obs.py)

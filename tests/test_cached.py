@@ -332,12 +332,64 @@ def test_cached_trainer_refresh_every_schedule():
     assert 0.0 <= tr.max_vali_f1 <= 1.0
 
 
-def test_cached_dist_trainer_rejects_refresh_every():
+def test_dist_reuse_epoch_matches_fused_given_same_cache():
+    """Sharded staleness: refresh program + reuse-mode epoch reproduce the
+    fused sharded epoch bit-for-bit when fed the cache it would have
+    drawn (same key discipline as the single-device test above)."""
+    from jax.sharding import Mesh
+
+    from graphsage_tpu.train.cached_dist import (
+        build_epoch_stack,
+        make_cached_dist_epoch,
+        make_cached_dist_refresh,
+        pad_node_tables,
+    )
+
+    ds = synthetic_power_law(320, 1500, num_feats=12, num_classes=3, seed=0)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("data",))
+    pad = ds.graph.to_padded()
+    feats, neighbors, degrees = pad_node_tables(
+        ds.features, pad.neighbors, pad.degrees, 4)
+    feats, neighbors, degrees = (jnp.asarray(feats), jnp.asarray(neighbors),
+                                 jnp.asarray(degrees))
+    mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"sage": init_graphsage(k1, mcfg),
+              "clf": init_classifier(k2, 8, 3)}
+    batches, labels, row_masks = build_epoch_stack(
+        ds.train_nodes, ds.labels, 4, 32, np.random.RandomState(5))
+    args = (jnp.asarray(batches), jnp.asarray(labels),
+            jnp.asarray(row_masks))
+    key = jax.random.PRNGKey(7)
+
+    fused = make_cached_dist_epoch(mcfg, mesh, fanout=4)
+    p_a, loss_a = fused(params, feats, neighbors, degrees, *args, key)
+
+    k_cache, k_steps = jax.random.split(key)
+    refresh = make_cached_dist_refresh(mcfg, mesh, fanout=4)
+    cache, cnt = refresh(k_cache, feats, neighbors, degrees)
+    reuse = make_cached_dist_epoch(mcfg, mesh, fanout=4, reuse_cache=True)
+    p_b, loss_b = reuse(params, feats, neighbors, degrees, cache, cnt,
+                        *args, k_steps)
+    assert np.allclose(np.asarray(loss_a), np.asarray(loss_b))
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(p_a),
+            jax.tree_util.tree_leaves_with_path(p_b)):
+        assert np.allclose(np.asarray(va), np.asarray(vb)), ka
+
+
+def test_cached_dist_trainer_refresh_every_runs():
     from graphsage_tpu.train import CachedDistTrainer, TrainConfig
 
     ds = synthetic_power_law(200, 900, num_feats=12, num_classes=3, seed=1)
     mcfg = GraphSageConfig(num_layers=2, input_size=12, out_size=8)
-    tcfg = TrainConfig(epochs=1, b_sz=32, fanout=4, refresh_every=2,
-                       verbose=False)
-    with pytest.raises(ValueError, match="refresh_every"):
-        CachedDistTrainer(ds, mcfg, tcfg, extend_batches=False)
+    tcfg = TrainConfig(epochs=4, b_sz=32, fanout=4, refresh_every=3,
+                       verbose=False, clf_epochs=2)
+    tr = CachedDistTrainer(ds, mcfg, tcfg, extend_batches=False)
+    cache_ids = []
+    for ep in range(4):
+        tr.epoch = ep
+        tr.train_epoch()
+        cache_ids.append(id(tr._dist_stale_cache[0]))
+    assert cache_ids[0] == cache_ids[1] == cache_ids[2]
+    assert cache_ids[3] != cache_ids[0]

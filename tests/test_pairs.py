@@ -214,3 +214,47 @@ def test_auto_negative_mode_is_budget_based(monkeypatch):
     monkeypatch.setenv("GS_EXACT_NEG_BUDGET_S", "0")
     ps2 = PairSampler(g, train)
     assert ps2.negative_mode == "uniform"
+
+
+def test_uniform_negatives_native_invariants():
+    """C++ batched uniform negatives: excludes node + 1-hop, no
+    duplicates, exact count (or all available), only train nodes."""
+    from graphsage_tpu.data import synthetic_power_law
+    from graphsage_tpu.native import uniform_negatives_native
+
+    ds = synthetic_power_law(400, 2000, num_feats=4, num_classes=3, seed=4)
+    g = ds.graph
+    nodes = np.random.RandomState(0).choice(ds.train_nodes, 50,
+                                            replace=False)
+    got = uniform_negatives_native(g.indptr, g.indices, g.num_nodes,
+                                   ds.train_nodes, nodes, 20, seed=7)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    neg, valid = got
+    train = set(int(t) for t in ds.train_nodes)
+    for i, v in enumerate(nodes):
+        picks = neg[i][valid[i]]
+        bad = {int(v)} | set(int(u) for u in g.neighbors(int(v)))
+        assert len(picks) == min(20, len(train - bad))
+        assert len(set(picks.tolist())) == len(picks), "duplicates"
+        assert not (set(int(x) for x in picks) & bad)
+        assert set(int(x) for x in picks) <= train
+
+
+def test_uniform_negatives_native_dense_ask():
+    """When the ask covers most of the valid pool the C++ sampler switches
+    to the scan+Fisher-Yates branch and still returns every valid node."""
+    from graphsage_tpu.native import uniform_negatives_native
+
+    # line graph: node 5's pool = train - {4,5,6}
+    n = 30
+    src = np.arange(n - 1)
+    g = CSRGraph.from_edges(n, src, src + 1)
+    train = np.arange(n)
+    got = uniform_negatives_native(g.indptr, g.indices, n, train,
+                                   np.asarray([5]), n, seed=3)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    neg, valid = got
+    picks = set(int(x) for x in neg[0][valid[0]])
+    assert picks == set(range(n)) - {4, 5, 6}
