@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "params + model config JSON) to this directory "
                         "(graphsage_tpu.infer loads it without the "
                         "training stack)")
+    p.add_argument("--platform", type=str, default="default",
+                   choices=["default", "cpu"],
+                   help="force the JAX backend: 'cpu' overrides even a "
+                        "sitecustomize-pinned remote TPU plugin (the "
+                        "JAX_PLATFORMS env var cannot — the plugin "
+                        "registration overrides it)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--metrics", type=str, default=None,
                    help="path for jsonl structured metrics")
@@ -101,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from graphsage_tpu.data import load_dataset
     from graphsage_tpu.models import GraphSageConfig
@@ -214,7 +224,21 @@ def main(argv=None) -> int:
     else:
         print("GraphSage with Net Unsupervised Learning")
 
-    trainer.fit()
+    try:
+        trainer.fit()
+    except Exception as e:
+        from graphsage_tpu.utils.obs import FetchDeadlineError
+        if not isinstance(e, FetchDeadlineError):
+            raise
+        # the backend wedged a device fetch mid-run (diagnostics already
+        # dumped by fetch_with_deadline).  The process is unrecoverable —
+        # the wedged RPC thread cannot be joined, and normal interpreter
+        # teardown aborts inside the backend plugin ("FATAL: exception not
+        # rethrown", observed live) — so exit hard with a clean message
+        # and a distinct code the operator/driver can react to.
+        print(f"FATAL: {e}; restart and resume from the last checkpoint",
+              flush=True)
+        os._exit(17)
     print(f"Best validation F1: {trainer.max_vali_f1:.4f}")
     if args.export:
         from graphsage_tpu.infer import export_bundle

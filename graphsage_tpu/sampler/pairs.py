@@ -95,9 +95,16 @@ class PairSampler:
         # component) and the total is hard-capped by byte budget with LRU
         # eviction either way.  Worst case held in memory = the budget.
         from collections import OrderedDict
+        import threading
         self._far_cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self._far_cache_bytes = 0
         self.far_cache_budget = int(far_cache_bytes)
+        # guards cache reads/inserts: the prewarm thread (prewarm_async)
+        # fills the cache while the training thread samples batches.  BFS
+        # work itself runs outside the lock.
+        self._cache_lock = threading.Lock()
+        self._prewarm_thread: threading.Thread | None = None
+        self._prewarm_stop = threading.Event()
         if negative_mode == "auto":
             import os
             budget_s = float(os.environ.get("GS_EXACT_NEG_BUDGET_S", "180"))
@@ -109,10 +116,11 @@ class PairSampler:
 
     # ---- BFS closure (reference src/models.py:154-162) -> cached far list
     def _far_nodes(self, node: int) -> np.ndarray:
-        cached = self._far_cache.get(node)
-        if cached is not None:
-            self._far_cache.move_to_end(node)
-            return cached
+        with self._cache_lock:
+            cached = self._far_cache.get(node)
+            if cached is not None:
+                self._far_cache.move_to_end(node)
+                return cached
         g = self.graph
         bits = None
         try:
@@ -146,12 +154,13 @@ class PairSampler:
         return far
 
     def _insert_far(self, node: int, far: np.ndarray) -> None:
-        self._far_cache[node] = far
-        self._far_cache_bytes += far.nbytes
-        while (self._far_cache_bytes > self.far_cache_budget
-               and len(self._far_cache) > 1):
-            _, evicted = self._far_cache.popitem(last=False)
-            self._far_cache_bytes -= evicted.nbytes
+        with self._cache_lock:
+            self._far_cache[node] = far
+            self._far_cache_bytes += far.nbytes
+            while (self._far_cache_bytes > self.far_cache_budget
+                   and len(self._far_cache) > 1):
+                _, evicted = self._far_cache.popitem(last=False)
+                self._far_cache_bytes -= evicted.nbytes
 
     def _prefill_far(self, nodes: np.ndarray) -> None:
         """Batch-build the missing far lists on the C++ thread pool
@@ -160,8 +169,9 @@ class PairSampler:
         faster per root on the 2-core bench host and scaling with cores
         (PAIRS_SCALE_r04.json); silently falls back to the lazy per-root
         path when the native lib is absent."""
-        missing = [v for v in dict.fromkeys(int(x) for x in nodes)
-                   if v not in self._far_cache]
+        with self._cache_lock:
+            missing = [v for v in dict.fromkeys(int(x) for x in nodes)
+                       if v not in self._far_cache]
         if not missing:
             return
         try:
@@ -176,6 +186,43 @@ class PairSampler:
             return
         for node, far in zip(missing, fars):
             self._insert_far(node, far)
+
+    def prewarm_async(self, nodes: np.ndarray,
+                      chunk: int = 2048) -> None:
+        """Build far lists for ``nodes`` on a background daemon thread.
+
+        The first epoch's exact-negative closure cost at 100k-node scale
+        is ~159 s of pure host BFS (PAIRS_SCALE_r04.json) while the
+        device side spends its first minutes compiling (remote first
+        compile 40-200 s observed) — the two overlap almost entirely when
+        the warmup starts at trainer construction.  Bit-identical to lazy
+        building (closures are deterministic, no RNG); sample_batch picks
+        up whatever is cached and builds the rest.  No-op in uniform
+        mode.  ``close()`` (or process exit — daemon thread) stops it."""
+        if self.negative_mode != "exact" or self._prewarm_thread is not None:
+            return
+        import threading
+        nodes = np.asarray(nodes)
+
+        def work():
+            for lo in range(0, len(nodes), chunk):
+                if self._prewarm_stop.is_set():
+                    return
+                try:
+                    self._prefill_far(nodes[lo:lo + chunk])
+                except Exception:  # warmers must never kill the trainer
+                    return
+
+        self._prewarm_thread = threading.Thread(
+            target=work, daemon=True, name="gs-pairs-prewarm")
+        self._prewarm_thread.start()
+
+    def close(self) -> None:
+        """Stop the prewarm thread (idempotent)."""
+        self._prewarm_stop.set()
+        if self._prewarm_thread is not None:
+            self._prewarm_thread.join(timeout=30)
+            self._prewarm_thread = None
 
     def negatives(self, node: int, num_neg: int,
                   rng: np.random.RandomState) -> np.ndarray:

@@ -129,6 +129,9 @@ class DistTrainer:
             from graphsage_tpu.train.distributed import make_dist_unsup_step
             self.pair_sampler = PairSampler(dataset.graph,
                                             dataset.train_nodes)
+            # overlap the one-time closure build with the first sharded
+            # compile (PAIRS_SCALE_r04.json; bit-identical to lazy)
+            self.pair_sampler.prewarm_async(dataset.train_nodes)
             self._unsup_step = make_dist_unsup_step(
                 mcfg, mesh, unsup_loss=tcfg.unsup_loss,
                 learn_method=tcfg.learn_method, lr=tcfg.lr, clip=tcfg.clip)

@@ -136,6 +136,11 @@ class Trainer:
         self.labels_np = np.asarray(dataset.labels)
         self.rng = np.random.RandomState(train_cfg.seed)
         self.pair_sampler = PairSampler(dataset.graph, dataset.train_nodes)
+        # overlap the one-time exact-negative closure build with the first
+        # compile (which takes minutes on remote backends): bit-identical
+        # to lazy building, ~159 s hidden at 100k-node scale
+        # (PAIRS_SCALE_r04.json; no-op in uniform mode / when tiny)
+        self.pair_sampler.prewarm_async(dataset.train_nodes)
         self.max_vali_f1 = 0.0
         self.epoch = 0
         self.history: list[dict] = []

@@ -239,3 +239,38 @@ def test_dist_trainer_fit_starts_at_resumed_epoch():
     tr.epoch = 2  # as set by a resume after a 2-epoch checkpointed run
     tr.fit()
     assert seen == [2]
+
+
+def test_cli_platform_cpu_flag(tmp_path):
+    """--platform cpu pins the backend even when a sitecustomize plugin
+    overrides JAX_PLATFORMS (the tests already run CPU via conftest; here
+    we pin that the flag path sets the config without breaking a run)."""
+    from graphsage_tpu.cli import main
+
+    rc = main(["--dataSet", "powerlaw:200:800", "--epochs", "1",
+               "--b_sz", "32", "--hidden", "16", "--fanout", "4",
+               "--seed", "3", "--quiet", "--platform", "cpu"])
+    assert rc == 0
+    import jax
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_cli_wedged_fetch_exits_loudly(monkeypatch):
+    """A FetchDeadlineError mid-fit makes the CLI print FATAL and
+    os._exit(17) instead of aborting in backend teardown (observed live:
+    'FATAL: exception not rethrown' from the wedged plugin thread)."""
+    from graphsage_tpu import cli
+    from graphsage_tpu.utils.obs import FetchDeadlineError
+
+    import graphsage_tpu.train.trainer as trainer_mod
+
+    def wedged_fit(self):
+        raise FetchDeadlineError("step 400 loss fetch did not complete")
+
+    monkeypatch.setattr(trainer_mod.Trainer, "fit", wedged_fit)
+    codes = []
+    monkeypatch.setattr(cli.os, "_exit", lambda c: codes.append(c))
+    rc = cli.main(["--dataSet", "powerlaw:200:800", "--epochs", "1",
+                   "--b_sz", "32", "--hidden", "16", "--fanout", "4",
+                   "--seed", "3", "--quiet"])
+    assert codes == [17]

@@ -258,3 +258,40 @@ def test_uniform_negatives_native_dense_ask():
     neg, valid = got
     picks = set(int(x) for x in neg[0][valid[0]])
     assert picks == set(range(n)) - {4, 5, 6}
+
+
+def test_prewarm_async_fills_cache_and_is_bit_identical():
+    """prewarm_async builds the same far lists the lazy path would, and a
+    sample_batch drawn after warmup matches a cold sampler under the same
+    RNG stream (closures are deterministic — no RNG involved)."""
+    import time
+
+    from graphsage_tpu.data import synthetic_power_law
+
+    ds = synthetic_power_law(500, 2500, num_feats=4, num_classes=3, seed=3)
+    batch = np.random.RandomState(1).choice(ds.train_nodes, 64,
+                                            replace=False)
+
+    warm = PairSampler(ds.graph, ds.train_nodes, negative_mode="exact")
+    warm.prewarm_async(ds.train_nodes, chunk=64)
+    deadline = time.time() + 30
+    while (warm._prewarm_thread.is_alive() and time.time() < deadline):
+        time.sleep(0.01)
+    assert len(warm._far_cache) == len(set(ds.train_nodes.tolist()))
+
+    cold = PairSampler(ds.graph, ds.train_nodes, negative_mode="exact")
+    pb_w = warm.sample_batch(batch, num_neg=10, rng=np.random.RandomState(7))
+    pb_c = cold.sample_batch(batch, num_neg=10, rng=np.random.RandomState(7))
+    for field in ("unique_nodes", "pos_q", "neg_q", "neg_mask",
+                  "node_valid", "target_rows"):
+        assert np.array_equal(getattr(pb_w, field),
+                              getattr(pb_c, field)), field
+    warm.close()
+    assert warm._prewarm_thread is None
+
+
+def test_prewarm_noop_in_uniform_mode():
+    g = line_graph(100)
+    ps = PairSampler(g, np.arange(100), negative_mode="uniform")
+    ps.prewarm_async(np.arange(100))
+    assert ps._prewarm_thread is None
