@@ -42,9 +42,12 @@ def run(ds, b_sz: int, k: int) -> dict:
 
 
 def main() -> None:
+    import jax
     out = {"protocol": "cached sup pipeline, 50 epochs, seed 824, "
                        "plain batches (extend_batches=False), fanout 10, "
-                       "2x128; k=1 is round-3 refresh-per-epoch semantics"}
+                       "2x128; k=1 is round-3 refresh-per-epoch semantics",
+           "backend": str(jax.devices()[0].device_kind
+                          if jax.devices() else "unknown")}
     for name, loader, b_sz in (("cora", load_cora, 512),
                                ("pubmed", load_pubmed, 1024)):
         ds = loader()
