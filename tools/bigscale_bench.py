@@ -38,6 +38,45 @@ from bench import _row_from_dt, _setup, _timed
 STALENESS_KS = (1, 2, 4, 8)
 
 
+def _patch_setup_devfeats():
+    """bench._setup variant that GENERATES the [1M, 602] feature table on
+    device instead of uploading the host copy: the upload is 1.2 GB
+    through the tunnel, which on slow-tunnel phases took 20+ minutes and
+    killed the first round-4 bigscale attempts (the tunnel rate swings
+    1-143 MB/s).  Feature CONTENT is irrelevant to throughput (the step
+    is addressing/byte-bound; identical shapes and dtype).  Must avoid
+    ever constructing the host-backed device array — jnp.asarray uploads
+    eagerly."""
+    import bench as bench_mod
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.models import GraphSageConfig, init_graphsage
+    from graphsage_tpu.models.layers import init_classifier
+
+    def setup_devfeats(ds, pad, dtype, batch, steps, hidden, agg="MEAN"):
+        mcfg = GraphSageConfig(num_layers=2, input_size=ds.feature_dim,
+                               out_size=hidden, compute_dtype=dtype,
+                               agg_func=agg)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(824))
+        params = {"sage": init_graphsage(k1, mcfg),
+                  "clf": init_classifier(k2, hidden, ds.num_classes)}
+        feats = jax.random.normal(
+            jax.random.PRNGKey(1), (ds.num_nodes, ds.feature_dim),
+            dtype=jnp.dtype(dtype)) * 0.1
+        neighbors = jnp.asarray(pad.neighbors)
+        degrees = jnp.asarray(pad.degrees)
+        rng = np.random.RandomState(0)
+        batches = jnp.asarray(rng.randint(
+            0, ds.num_nodes, size=(steps, batch)).astype(np.int32))
+        labels = jnp.take(jnp.asarray(ds.labels.astype(np.int32)),
+                          batches, axis=0)
+        return mcfg, params, feats, neighbors, degrees, batches, labels
+
+    bench_mod._setup = setup_devfeats
+    return setup_devfeats
+
+
 def main():
     import jax
 
@@ -48,6 +87,9 @@ def main():
         refresh_leaf_cache,
     )
 
+    global _setup
+    _setup = _patch_setup_devfeats()
+
     t0 = time.time()
     ds = synthetic_power_law(1_000_000, 10_000_000, num_feats=602,
                              num_classes=16, seed=0)
@@ -56,27 +98,45 @@ def main():
     print(f"# generated 1M nodes / {int(pad.true_degrees.sum())} edge slots "
           f"in {gen_s:.0f}s", file=sys.stderr)
 
+    import os
+    # GS_BIGSCALE_ROWS limits which rows run (comma list of: 65536,
+    # 131072, unsup) so a capture can fit inside a short healthy-tunnel
+    # phase and be merged across runs; default = all.
+    only = set((os.environ.get("GS_BIGSCALE_ROWS") or
+                "65536,131072,unsup").split(","))
+
     train_split = ds.num_nodes // 2  # loaders split: ~half train
     rows = []
     refresh_ms = None
     for batch in (65536, 131072):
+        if str(batch) not in only:
+            continue
         steps = -(-train_split // batch)  # honest T
         dtype = "bfloat16"
         (mcfg, params, feats, neighbors, degrees, batches,
          labels) = _setup(ds, pad, dtype, batch, steps, 128)
         key = jax.random.PRNGKey(824)
 
-        # refresh alone (same jitted body the epoch programs inline)
+        # refresh alone (same jitted body the epoch programs inline).
+        # Timing fetches a device-side SCALAR (sum of counts), not the
+        # [1M] counts row — a 4 MB fetch over a slow tunnel would swamp
+        # the measurement.
         if refresh_ms is None:
-            refresh_fn = jax.jit(lambda k: refresh_leaf_cache(
-                k, feats, neighbors, degrees, 10))
+            import jax.numpy as jnp
+
+            def refresh_probe(k):
+                cf, cc = refresh_leaf_cache(k, feats, neighbors, degrees,
+                                            10)
+                return cf, cc, jnp.sum(cc)
+
+            refresh_fn = jax.jit(refresh_probe)
             cache = refresh_fn(key)
-            np.asarray(cache[1])
+            np.asarray(cache[2])
             reps = []
             for _ in range(3):
                 t1 = time.perf_counter()
                 cache = refresh_fn(key)
-                np.asarray(cache[1])
+                np.asarray(cache[2])
                 reps.append(time.perf_counter() - t1)
             refresh_ms = float(np.median(reps)) * 1e3
             print(f"# refresh alone: {refresh_ms:.1f} ms", file=sys.stderr)
@@ -114,11 +174,13 @@ def main():
         print("#", json.dumps(row), file=sys.stderr)
 
     # unsup (normal) at scale, honest T for B=32768
-    from bench import run_unsup_row
-    row = run_unsup_row("powerlaw1M_b32768_cached_bfloat16_unsup", ds, pad,
-                        32768, "bfloat16", steps=-(-train_split // 32768))
-    rows.append(row)
-    print("#", json.dumps(row), file=sys.stderr)
+    if "unsup" in only:
+        from bench import run_unsup_row
+        row = run_unsup_row("powerlaw1M_b32768_cached_bfloat16_unsup", ds,
+                            pad, 32768, "bfloat16",
+                            steps=-(-train_split // 32768))
+        rows.append(row)
+        print("#", json.dumps(row), file=sys.stderr)
 
     out = {
         "workload": {"nodes": ds.num_nodes,
@@ -135,6 +197,16 @@ def main():
                  "STALENESS_r04.json)."),
         "rows": rows,
     }
+    # merge with rows captured by earlier (row-subset) runs: fresh rows win
+    if os.path.exists("BIGSCALE_r04.json"):
+        try:
+            with open("BIGSCALE_r04.json") as f:
+                old = json.load(f)
+            have = {r["name"] for r in rows}
+            out["rows"] = rows + [r for r in old.get("rows", [])
+                                  if r.get("name") not in have]
+        except Exception:
+            pass
     with open("BIGSCALE_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(rows[0]))

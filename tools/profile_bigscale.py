@@ -37,6 +37,9 @@ def main():
         refresh_leaf_cache,
     )
 
+    from bigscale_bench import _patch_setup_devfeats
+    setup_devfeats = _patch_setup_devfeats()
+
     t0 = time.time()
     ds = synthetic_power_law(1_000_000, 10_000_000, num_feats=602,
                              num_classes=16, seed=0)
@@ -45,7 +48,7 @@ def main():
           flush=True)
 
     (mcfg, params, feats, neighbors, degrees, batches,
-     labels) = _setup(ds, pad, "bfloat16", BATCH, STEPS, 128)
+     labels) = setup_devfeats(ds, pad, "bfloat16", BATCH, STEPS, 128)
     results = {"workload": "powerlaw 1M nodes, D=602, H=128, fanout 10, "
                            "table width 32, bf16 tables",
                "batch": BATCH}
@@ -63,12 +66,16 @@ def main():
         results[name] = round(ms, 2)
         print(f"# {name}: {ms:.2f} ms", file=sys.stderr, flush=True)
 
-    # 1. refresh alone
-    refresh = jax.jit(lambda k, f, nb, dg: refresh_leaf_cache(
-        k, f, nb, dg, 10, agg="MEAN"))
+    # 1. refresh alone (fetch a device-side scalar — a [1M] counts fetch
+    # is 4 MB over the tunnel and would swamp the timing on slow days)
+    def refresh_probe(k, f, nb, dg):
+        cf, cc = refresh_leaf_cache(k, f, nb, dg, 10, agg="MEAN")
+        return cf, cc, jnp.sum(cc)
+
+    refresh = jax.jit(refresh_probe)
     report("refresh_ms", timed(refresh, jax.random.PRNGKey(0), feats,
                                neighbors, degrees))
-    cf, cc = refresh(jax.random.PRNGKey(1), feats, neighbors, degrees)
+    cf, cc, _ = refresh(jax.random.PRNGKey(1), feats, neighbors, degrees)
 
     # 2. scanned steps with the refresh hoisted out
     step = make_cached_sup_step(mcfg, fanout=10)
@@ -90,6 +97,72 @@ def main():
     dt = timed(f, params, jax.random.PRNGKey(5), feats, cf, cc, neighbors,
                degrees, batches, labels, reps=1)
     report("steponly_ms_per_step", dt / STEPS)
+
+    # 2b. anatomy variants (round 4): forward-only and stop-grad-h1-table
+    # scans isolate where the 1M step's time goes — the same decomposition
+    # PROFILE_CACHED.json runs at 100k (fwd / l1-backward / rest).
+    from graphsage_tpu.models import classifier_apply
+    from graphsage_tpu.losses import supervised_nll
+    from graphsage_tpu.train.cached import cached_forward
+    from graphsage_tpu.train.dense import cast_compute
+    from graphsage_tpu.train.optim import clip_by_global_norm, sgd_update
+
+    def fwd_only_scan(p0, key, feats, cf, cc, neighbors, degrees, batches,
+                      labels):
+        def body(carry, xs):
+            acc, k = carry
+            b, lab = xs
+            k, sub = jax.random.split(k)
+            embs = cached_forward(p0, mcfg, feats, cf, cc, neighbors,
+                                  degrees, b, sub, 10)
+            logp = classifier_apply(cast_compute(p0["clf"], mcfg), embs)
+            loss = supervised_nll(logp, lab,
+                                  jnp.ones(b.shape[0], jnp.float32))
+            return (acc + loss, k), loss
+
+        (_, _), losses = jax.lax.scan(body, (jnp.float32(0), key),
+                                      (batches, labels))
+        return losses
+
+    dt = timed(jax.jit(fwd_only_scan), params, jax.random.PRNGKey(5),
+               feats, cf, cc, neighbors, degrees, batches, labels, reps=1)
+    report("forward_only_ms_per_step", dt / STEPS)
+
+    def stopgrad_scan(p0, key, feats, cf, cc, neighbors, degrees, batches,
+                      labels):
+        # stop the gradient at the constant leaf tables' layer-1 output:
+        # removes the d(h1_table) scatter + dW1 GEMM from the backward
+        feats_s = jax.lax.stop_gradient(feats)
+
+        def body(carry, xs):
+            p, k = carry
+            b, lab = xs
+            k, sub = jax.random.split(k)
+
+            def loss_fn(pp):
+                frozen = {"sage": {**pp["sage"],
+                                   "layers": [jax.lax.stop_gradient(
+                                       pp["sage"]["layers"][0])]
+                                   + list(pp["sage"]["layers"][1:])},
+                          "clf": pp["clf"]}
+                embs = cached_forward(frozen, mcfg, feats_s, cf, cc,
+                                      neighbors, degrees, b, sub, 10)
+                logp = classifier_apply(cast_compute(pp["clf"], mcfg),
+                                        embs)
+                return supervised_nll(logp, lab,
+                                      jnp.ones(b.shape[0], jnp.float32))
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            grads = {kk: clip_by_global_norm(g, 5.0)
+                     for kk, g in grads.items()}
+            return (sgd_update(p, grads, 0.7), k), loss
+
+        (p, _), losses = jax.lax.scan(body, (p0, key), (batches, labels))
+        return p, losses
+
+    dt = timed(jax.jit(stopgrad_scan), params, jax.random.PRNGKey(5),
+               feats, cf, cc, neighbors, degrees, batches, labels, reps=1)
+    report("stopgrad_w1_ms_per_step", dt / STEPS)
 
     # NB: isolated per-op reps at [1M, D] shapes are NOT measured here —
     # any rep-loop carry at that shape is a ≥256 MB buffer whose fetch
