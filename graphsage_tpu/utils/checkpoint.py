@@ -3,9 +3,17 @@
 The reference only saves — a whole-module ``torch.save`` on val improvement
 (src/utils.py:52) with no load path anywhere (SURVEY §2 comp. 22).  Here a
 checkpoint captures everything needed to resume a run bit-exactly at the
-epoch boundary: model params, epoch, best-val F1, and the numpy sampler RNG
+epoch boundary: model params, epoch, best-val F1, the numpy sampler RNG
 state (the host RNG drives neighbor sampling, walks, negatives, and batch
-shuffling — SURVEY §3 RNG notes).
+shuffling — SURVEY §3 RNG notes), and — for the cached pipelines — the
+device PRNG key that drives in-jit sampling and the leaf-cache draw.
+
+Exactness scope: compact and cached/cached_dist resumes replay the unbroken
+run bit-for-bit (tests/test_checkpoint.py), with ONE documented exception —
+under ``refresh_every`` k > 1 a resume redraws the leaf cache at the resumed
+epoch rather than reusing the (unsaved, device-resident) stale cache from
+the last refresh epoch; quality-neutral per STALENESS_r04.json, and the
+subsequent refresh schedule realigns at the next multiple of k.
 """
 
 from __future__ import annotations
@@ -41,7 +49,11 @@ def _tree_to_rng_state(tree: dict) -> tuple:
 
 
 def save_checkpoint(path: str, params, epoch: int, max_vali_f1: float,
-                    rng: np.random.RandomState) -> None:
+                    rng: np.random.RandomState, jax_key=None) -> None:
+    """``jax_key`` (optional): the trainer's device PRNG key
+    (``CachedTrainer._key`` — drives in-jit sampling and the leaf-cache
+    draw).  Checkpointing it makes the cached pipelines' resume bit-exact,
+    not just the compact pipeline's (VERDICT r04 weak #5)."""
     path = os.path.abspath(path)
     tree = {
         "params": jax.device_get(params),
@@ -49,6 +61,9 @@ def save_checkpoint(path: str, params, epoch: int, max_vali_f1: float,
         "max_vali_f1": np.asarray([max_vali_f1], dtype=np.float64),
         "rng": _rng_state_to_tree(rng.get_state()),
     }
+    if jax_key is not None:
+        tree["jax_key"] = np.asarray(jax.device_get(jax_key),
+                                     dtype=np.uint32)
     if not _HAS_ORBAX:
         raise RuntimeError("orbax-checkpoint is not available")
     ckptr = ocp.StandardCheckpointer()
@@ -56,9 +71,11 @@ def save_checkpoint(path: str, params, epoch: int, max_vali_f1: float,
     ckptr.wait_until_finished()
 
 
-def restore_checkpoint(path: str, params_like):
-    """Restore (params, epoch, max_vali_f1, rng).  ``params_like`` provides
-    the pytree structure/shapes (from a fresh init)."""
+def restore_checkpoint(path: str, params_like, with_jax_key: bool = False):
+    """Restore (params, epoch, max_vali_f1, rng) — plus the saved jax key
+    (or None) as a fifth element when ``with_jax_key`` is true.
+    ``params_like`` provides the pytree structure/shapes (from a fresh
+    init)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     # Only structure/shape/dtype are needed for the restore target — build
@@ -73,8 +90,22 @@ def restore_checkpoint(path: str, params_like):
         "max_vali_f1": np.asarray([0.0], dtype=np.float64),
         "rng": _rng_state_to_tree(np.random.RandomState(0).get_state()),
     }
-    tree = ckptr.restore(path, target=target)
+    jax_key = None
+    if with_jax_key:
+        try:
+            t2 = dict(target)
+            t2["jax_key"] = np.zeros(2, dtype=np.uint32)
+            tree = ckptr.restore(path, target=t2)
+            jax_key = np.asarray(tree["jax_key"], dtype=np.uint32)
+        except Exception:
+            # pre-round-5 checkpoint without the key leaf: restore the
+            # rest; the caller keeps its fresh key (resume still correct,
+            # just not bit-exact — the old behavior)
+            tree = ckptr.restore(path, target=target)
+    else:
+        tree = ckptr.restore(path, target=target)
     rng = np.random.RandomState(0)
     rng.set_state(_tree_to_rng_state(tree["rng"]))
-    return (jax.tree_util.tree_map(np.asarray, tree["params"]),
-            int(tree["epoch"][0]), float(tree["max_vali_f1"][0]), rng)
+    out = (jax.tree_util.tree_map(np.asarray, tree["params"]),
+           int(tree["epoch"][0]), float(tree["max_vali_f1"][0]), rng)
+    return out + (jax_key,) if with_jax_key else out

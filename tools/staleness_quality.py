@@ -2,7 +2,7 @@
 
 Runs the cached supervised pipeline for k in {1, 2, 4} on Cora and Pubmed
 (50 epochs, the reference protocol length) and records best val/test F1,
-so the throughput lever measured in BIGSCALE_r04.json is defended by a
+so the throughput lever measured in BIGSCALE_r05.json is defended by a
 quality measurement rather than an assumption.  k=1 is the round-3
 semantics (refresh every epoch).
 
