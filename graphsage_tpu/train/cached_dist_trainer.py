@@ -118,8 +118,23 @@ class CachedDistTrainer(CachedTrainer):
         if (self._dist_stale_cache is None
                 or self.epoch % self.tcfg.refresh_every == 0):
             self._key, k_r = jax.random.split(self._key)
-            self._dist_stale_cache = self._dist_refresh(
-                k_r, self.feats, self.neighbors, self.degrees)
+            if not self._warmed:
+                # with refresh_every > 1 the FIRST sharded program run is
+                # this refresh, not the epoch program — a first-compile
+                # collective wedge here must hit the same watchdog the
+                # epoch program gets (advisor r04); the epoch program's
+                # own first run stays guarded until _warmed flips there
+                from graphsage_tpu.utils.obs import collective_watchdog
+                with collective_watchdog(
+                        label="CachedDistTrainer first sharded refresh",
+                        mesh=self.mesh):
+                    out = self._dist_refresh(
+                        k_r, self.feats, self.neighbors, self.degrees)
+                    jax.block_until_ready(out)
+                self._dist_stale_cache = out
+            else:
+                self._dist_stale_cache = self._dist_refresh(
+                    k_r, self.feats, self.neighbors, self.degrees)
         return self._dist_stale_cache
 
     def train_epoch(self) -> float:

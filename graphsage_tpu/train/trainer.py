@@ -410,6 +410,16 @@ class Trainer:
         tcfg = self.tcfg
         for epoch in range(self.epoch, tcfg.epochs):
             self.epoch = epoch
+            # test hook for the auto-resume supervisor (tools/
+            # run_supervised.py): simulate the remote backend wedging a
+            # fetch mid-run, exactly once per sentinel file — the
+            # relaunched process sees the sentinel and trains through
+            _wedge = os.environ.get("GS_TEST_WEDGE_SENTINEL")
+            if _wedge and epoch >= 1 and not os.path.exists(_wedge):
+                open(_wedge, "w").close()
+                from graphsage_tpu.utils.obs import FetchDeadlineError
+                raise FetchDeadlineError(
+                    "injected test wedge (GS_TEST_WEDGE_SENTINEL)")
             if tcfg.verbose:
                 print(f"----------------------EPOCH {epoch}"
                       "-----------------------")

@@ -32,7 +32,7 @@ def main() -> None:
     from graphsage_tpu.train import Trainer, TrainConfig
 
     out = {
-        "impl": "graphsage_tpu compact Trainer (TPU), round-4 HEAD",
+        "impl": "graphsage_tpu compact Trainer (TPU), round-5 HEAD",
         "protocol": "sup, 50 epochs, b_sz 20, agg MAX, best-val->test",
         "dataset": "cora (real citation graph, synthesized content)",
         "seeds": {},
