@@ -38,7 +38,13 @@ def _time_refresh(feats, neighbors, degrees, fanout=10):
     @jax.jit
     def refresh(k, feats, neighbors, degrees):
         cf, cc = refresh_leaf_cache(k, feats, neighbors, degrees, fanout)
-        return jnp.sum(cc)
+        # the probe MUST consume cf: a sum over cc alone lets XLA
+        # dead-code-eliminate the entire 12 GB feature gather (measured:
+        # 94 ms with cf unused vs 374-377 ms real — this DCE trap is what
+        # produced round 4's irreproducible "103 ms" diagnostic).
+        # Returning the full [1M, 602] cf would add a 1.2 GB output
+        # buffer; reducing it keeps the gather live at zero output cost.
+        return jnp.sum(cf.astype(jnp.float32)) + jnp.sum(cc)
 
     key = jax.random.PRNGKey(824)
     np.asarray(refresh(key, feats, neighbors, degrees))
