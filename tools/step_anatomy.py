@@ -2,25 +2,30 @@
 weak #3: the headline's non-scatter ~38% had no per-slice accounting).
 
 Methodology: each slice runs as a `lax.scan` of REPS iterations inside ONE
-jitted program (per-iteration PRNG fold-in + a loop-carried checksum that
-feeds the next iteration's inputs, so XLA can neither hoist the slice out
-of the loop nor overlap iterations), timed with a single device fetch —
-the tunnel's ~25 ms dispatch+fetch RTT is paid once per measurement and
-divided by REPS, not per rep.  Slices:
+jitted program (per-iteration PRNG fold-in + a loop-carried checksum, so
+XLA can neither hoist the slice out of the loop nor skip it), timed with a
+single device fetch — the tunnel's ~25 ms dispatch+fetch RTT is paid once
+per measurement and divided by REPS (the measured `timing_floor_ms` null
+slice reports the residual).  All large tables are passed as jit
+ARGUMENTS, never closed over: a closed-over device array is embedded in
+the lowered computation, and shipping a 1.2 GB constant to the remote
+compiler wedges the compile (observed live, twice).  Slices:
 
-  sampling    in-jit frontier draw (sampler/device.py) at batch shape
-  l1_gemm     layer-1 full-table GEMM pair (sage_layer_apply over all N)
-  h1_gather   + the [M, H] narrow-row gather of the frontier (delta)
-  fwd         full cached_forward (adds upper layers + clf head)
-  fwd_bwd     + value_and_grad (adds the backward: dW GEMMs + the M-row
-              dH1 scatter-add — the measured binding op)
-  step        + clip/SGD (the complete training step)
+  timing_floor   null body — the per-measurement overhead every number
+                 below carries additively
+  sampling       in-jit frontier draw (sampler/device.py) at batch shape
+  l1_gemm        layer-1 full-table GEMM pair (sage_layer_apply over all N)
+  h1_gather      + the [M, H] narrow-row gather of the frontier (delta)
+  fwd            full cached_forward (adds upper layers + clf head)
+  fwd_bwd        + value_and_grad (adds the backward: dW GEMMs + the M-row
+                 dH1 scatter-add — the measured binding op)
+  step           + clip/SGD (the complete training step)
   scatter_bound  isolated M-row [H] scatter-add into [N, H] at the exact
-              step shapes (grad-of-gather), the roofline denominator
+                 step shapes (grad-of-gather), the roofline denominator
 
 Workloads: 100k (the bench headline graph) and 1m (BASELINE config-5).
-Writes PROFILE_ANATOMY_r05.json.  Run on the TPU:
-    python tools/step_anatomy.py [100k|1m] [batch ...]
+Writes/merges PROFILE_ANATOMY_r05.json.  Run on the TPU:
+    python tools/step_anatomy.py [100k|1m|tiny] [batch ...]
 """
 
 from __future__ import annotations
@@ -34,27 +39,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-REPS = 10
+REPS = 20
 
 
-def _scan_timed(make_body, reps=REPS):
-    """make_body(it, carry) -> new_carry (a f32 scalar folding in the
-    slice's result).  Returns (ms_per_rep, total_s)."""
+def _scan_timed(make_body, arrays=(), reps=REPS):
+    """make_body(it, carry, *arrays) -> new_carry (f32 scalar folding in
+    the slice's result).  ``arrays`` are jit ARGUMENTS (see module
+    docstring).  Returns (ms_per_rep, total_s)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def prog(c0):
+    def prog(c0, *arrs):
         def body(c, it):
-            return make_body(it, c), ()
+            return make_body(it, c, *arrs), ()
 
         c, _ = jax.lax.scan(body, c0, jnp.arange(reps))
         return c
 
-    c = prog(jnp.float32(0.0))
+    c = prog(jnp.float32(0.0), *arrays)
     np.asarray(c)  # compile + warm
     t0 = time.perf_counter()
-    c = prog(jnp.float32(1e-9))
+    c = prog(jnp.float32(1e-9), *arrays)
     np.asarray(c)
     dt = time.perf_counter() - t0
     return dt / reps * 1e3, dt
@@ -81,24 +87,28 @@ def anatomy(ds, pad, batch, dtype="bfloat16", hidden=128, fanout=10):
     batch_ids = batches[0]
     lab = labels[0]
     key0 = jax.random.PRNGKey(824)
-    cache_feats, cache_count = jax.jit(
-        lambda k: refresh_leaf_cache(k, feats, neighbors, degrees,
-                                     fanout))(key0)
+
+    @jax.jit
+    def _refresh(k, feats, neighbors, degrees):
+        return refresh_leaf_cache(k, feats, neighbors, degrees, fanout)
+
+    cache_feats, cache_count = _refresh(key0, feats, neighbors, degrees)
     jax.block_until_ready(cache_count)
 
     n = feats.shape[0]
-    m = batch * (fanout + 1)
-    h = hidden
-    res = {"batch": batch, "nodes": n, "frontier_rows": m, "dtype": dtype}
+    res = {"batch": batch, "nodes": n,
+           "frontier_rows": batch * (fanout + 1), "dtype": dtype}
 
-    # epsilon perturbation: ties each iteration's params to the carry so
-    # the slice body cannot be hoisted (carry magnitude ~1e-9 -> the
-    # perturbation is below bf16 resolution, compute is unchanged)
-    def peps(p, c):
-        return jax.tree_util.tree_map(lambda x: x * (1.0 + c * 1e-30), p)
+    def rec(name, val):
+        res[name] = round(val, 3)
+        print(f"# slice {name}: {res[name]}", file=sys.stderr)
+
+    # --- null slice: per-measurement floor
+    rec("timing_floor_ms", _scan_timed(lambda it, c: c + it.astype(
+        jnp.float32) * 1e-20)[0])
 
     # --- sampling
-    def s_sampling(it, c):
+    def s_sampling(it, c, neighbors, degrees, batch_ids):
         k = jax.random.fold_in(key0, it)
         ids, frontiers = sample_frontiers_dense(
             k, neighbors, degrees, batch_ids,
@@ -106,38 +116,44 @@ def anatomy(ds, pad, batch, dtype="bfloat16", hidden=128, fanout=10):
         return c + jnp.sum(ids).astype(jnp.float32) * 1e-20 + \
             jnp.sum(frontiers[0].mask).astype(jnp.float32) * 1e-20
 
-    res["sampling_ms"] = round(_scan_timed(s_sampling)[0], 3)
+    rec("sampling_ms", _scan_timed(s_sampling,
+                                   (neighbors, degrees, batch_ids))[0])
 
-    # --- layer-1 full-table GEMM pair
+    # --- layer-1 full-table GEMM pair (the cast to compute dtype happens
+    # once outside, as in the real step where feats are stored in bf16)
     w1 = cast_compute(params["sage"]["layers"][0], mcfg)
     cfeats = cast_compute(feats, mcfg)
     ccache = cast_compute(cache_feats, mcfg)
 
-    def s_l1(it, c):
+    def s_l1(it, c, w1, cfeats, ccache):
         w = jax.tree_util.tree_map(lambda x: x + c * 1e-30, w1)
         t = sage_layer_apply(w, cfeats, ccache, gcn=False)
         return c + jnp.sum(t.astype(jnp.float32)) * 1e-20
 
-    res["l1_gemm_ms"] = round(_scan_timed(s_l1)[0], 3)
+    rec("l1_gemm_ms", _scan_timed(s_l1, (w1, cfeats, ccache))[0])
 
     # --- + frontier gather
-    ids_static, _ = jax.jit(lambda k: sample_frontiers_dense(
-        k, neighbors, degrees, batch_ids,
-        num_layers=mcfg.num_layers - 1, fanout=fanout))(key0)
+    ids_static, _ = jax.jit(lambda k, nb, dg, b: sample_frontiers_dense(
+        k, nb, dg, b, num_layers=mcfg.num_layers - 1, fanout=fanout))(
+            key0, neighbors, degrees, batch_ids)
     jax.block_until_ready(ids_static)
 
-    def s_l1_gather(it, c):
+    def s_l1_gather(it, c, w1, cfeats, ccache, ids):
         w = jax.tree_util.tree_map(lambda x: x + c * 1e-30, w1)
         t = sage_layer_apply(w, cfeats, ccache, gcn=False)
-        g = jnp.take(t, ids_static, axis=0)
+        g = jnp.take(t, ids, axis=0)
         return c + jnp.sum(g.astype(jnp.float32)) * 1e-20
 
-    d = _scan_timed(s_l1_gather)[0]
-    res["l1_gemm_plus_gather_ms"] = round(d, 3)
-    res["h1_gather_ms"] = round(d - res["l1_gemm_ms"], 3)
+    d = _scan_timed(s_l1_gather, (w1, cfeats, ccache, ids_static))[0]
+    rec("l1_gemm_plus_gather_ms", d)
+    rec("h1_gather_ms", d - res["l1_gemm_ms"])
+
+    def peps(p, c):
+        return jax.tree_util.tree_map(lambda x: x * (1.0 + c * 1e-30), p)
 
     # --- full forward (+ clf head + nll, no grad)
-    def s_fwd(it, c):
+    def s_fwd(it, c, params, feats, cache_feats, cache_count, neighbors,
+              degrees, batch_ids, lab):
         k = jax.random.fold_in(key0, it)
         p = peps(params, c)
         embs = cached_forward(p, mcfg, feats, cache_feats, cache_count,
@@ -147,74 +163,95 @@ def anatomy(ds, pad, batch, dtype="bfloat16", hidden=128, fanout=10):
                               jnp.ones(batch_ids.shape[0], jnp.float32))
         return c + loss.astype(jnp.float32) * 1e-20
 
-    res["fwd_ms"] = round(_scan_timed(s_fwd)[0], 3)
+    fwd_args = (params, feats, cache_feats, cache_count, neighbors,
+                degrees, batch_ids, lab)
+    rec("fwd_ms", _scan_timed(s_fwd, fwd_args)[0])
 
     # --- forward + backward
-    def loss_of(p, k):
-        embs = cached_forward(p, mcfg, feats, cache_feats, cache_count,
-                              neighbors, degrees, batch_ids, k, fanout)
-        logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
-        return supervised_nll(logp, lab,
-                              jnp.ones(batch_ids.shape[0], jnp.float32))
-
-    def s_fwd_bwd(it, c):
+    def s_fwd_bwd(it, c, params, feats, cache_feats, cache_count,
+                  neighbors, degrees, batch_ids, lab):
         k = jax.random.fold_in(key0, it)
         p = peps(params, c)
-        loss, grads = jax.value_and_grad(loss_of)(p, k)
+
+        def loss_of(pp):
+            embs = cached_forward(pp, mcfg, feats, cache_feats,
+                                  cache_count, neighbors, degrees,
+                                  batch_ids, k, fanout)
+            logp = classifier_apply(cast_compute(pp["clf"], mcfg), embs)
+            return supervised_nll(
+                logp, lab, jnp.ones(batch_ids.shape[0], jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_of)(p)
         lsum = sum(jnp.sum(g.astype(jnp.float32)) * 1e-20
                    for g in jax.tree_util.tree_leaves(grads))
         return c + loss.astype(jnp.float32) * 1e-20 + lsum
 
-    res["fwd_bwd_ms"] = round(_scan_timed(s_fwd_bwd)[0], 3)
+    rec("fwd_bwd_ms", _scan_timed(s_fwd_bwd, fwd_args)[0])
 
     # --- complete step (matches the epoch program body: carry = params)
     step = make_cached_sup_step(mcfg, fanout=fanout)
 
     @jax.jit
-    def full_steps(p0):
+    def full_steps(p0, feats, cache_feats, cache_count, neighbors,
+                   degrees, batch_ids, lab):
         def body(p, it):
             k = jax.random.fold_in(key0, it)
             p2, loss = step(p, feats, cache_feats, cache_count, neighbors,
                             degrees, batch_ids, lab, k)
             return p2, loss
 
-        p, losses = jax.lax.scan(body, p0, jnp.arange(REPS))
+        _, losses = jax.lax.scan(body, p0, jnp.arange(REPS))
         return losses
 
-    losses = full_steps(params)
-    np.asarray(losses)
+    np.asarray(full_steps(params, *fwd_args[1:]))
     t0 = time.perf_counter()
-    np.asarray(full_steps(params))
-    res["step_ms"] = round((time.perf_counter() - t0) / REPS * 1e3, 3)
+    np.asarray(full_steps(params, *fwd_args[1:]))
+    rec("step_ms", (time.perf_counter() - t0) / REPS * 1e3)
 
     # --- isolated scatter bound at the exact shapes: d(table) of an
     # M-row gather is an M-row [H] scatter-add into [N, H]
-    table = jnp.zeros((n, h), dtype=jnp.dtype(dtype))
-    dout = jnp.ones((ids_static.shape[0], h), dtype=jnp.dtype(dtype))
+    table = jnp.zeros((n, hidden), dtype=jnp.dtype(dtype))
+    dout = jnp.ones((ids_static.shape[0], hidden), dtype=jnp.dtype(dtype))
 
-    def s_scatter(it, c):
-        t = table * (1.0 + c * 1e-30)
+    def s_scatter(it, c, table, dout, ids):
+        # dout must vary with the carry: the gradient of a LINEAR
+        # function of the table does not depend on the table, so
+        # perturbing only the table leaves the scatter loop-invariant and
+        # XLA hoists it out of the scan (observed: a 378M rows/s
+        # "scatter" that was one hoisted scatter + 19 no-op iterations)
+        d2 = dout * (1.0 + c)
         g = jax.grad(lambda tt: jnp.sum(
-            jnp.take(tt, ids_static, axis=0).astype(jnp.float32)
-            * dout.astype(jnp.float32)))(t)
+            jnp.take(tt, ids, axis=0).astype(jnp.float32)
+            * d2.astype(jnp.float32)))(table)
         return c + jnp.sum(g.astype(jnp.float32)) * 1e-20
 
-    res["scatter_bound_ms"] = round(_scan_timed(s_scatter)[0], 3)
+    rec("scatter_bound_ms",
+        _scan_timed(s_scatter, (table, dout, ids_static))[0])
     res["scatter_rows_per_sec"] = round(
         ids_static.shape[0] / (res["scatter_bound_ms"] / 1e3), 1)
 
+    # --- isolated gather bound at the exact shapes (M narrow [H] rows
+    # from the [N, H] table).  The index shift is data-dependently zero:
+    # XLA cannot fold it, so the gather re-runs every iteration, but the
+    # gathered rows are identical to ids_static's.
+    def s_gather(it, c, table, ids):
+        shift = jnp.minimum(jnp.abs(c).astype(jnp.int32), 0)
+        g = jnp.take(table, ids + shift, axis=0)
+        return c + jnp.sum(g.astype(jnp.float32)) * 1e-20
+
+    rec("gather_bound_ms", _scan_timed(s_gather, (table, ids_static))[0])
+    res["gather_rows_per_sec"] = round(
+        ids_static.shape[0] / (res["gather_bound_ms"] / 1e3), 1)
+
     # derived slices
-    res["upper_plus_head_fwd_ms"] = round(
-        res["fwd_ms"] - res["l1_gemm_plus_gather_ms"] - res["sampling_ms"],
-        3)
-    res["backward_ms"] = round(res["fwd_bwd_ms"] - res["fwd_ms"], 3)
-    res["opt_ms"] = round(res["step_ms"] - res["fwd_bwd_ms"], 3)
+    rec("upper_plus_head_fwd_ms",
+        res["fwd_ms"] - res["l1_gemm_plus_gather_ms"] - res["sampling_ms"])
+    rec("backward_ms", res["fwd_bwd_ms"] - res["fwd_ms"])
+    rec("opt_ms", res["step_ms"] - res["fwd_bwd_ms"])
     return res
 
 
 def main():
-    import jax
-
     from graphsage_tpu.data import synthetic_power_law
 
     which = sys.argv[1] if len(sys.argv) > 1 else "100k"
@@ -238,7 +275,11 @@ def main():
 
     rows = []
     for b in batches:
-        r = anatomy(ds, pad, b)
+        try:
+            r = anatomy(ds, pad, b)
+        except Exception as e:  # tunnel wedge mid-batch: keep what we have
+            print(f"# batch {b} FAILED: {e}", file=sys.stderr)
+            continue
         r["workload"] = which
         rows.append(r)
         print("#", json.dumps(r), file=sys.stderr)
@@ -247,7 +288,8 @@ def main():
         os.path.abspath(__file__))), "PROFILE_ANATOMY_r05.json")
     merged = {"note": ("cached sup step per-slice anatomy; scan-of-REPS "
                        "timing, one fetch per measurement (tunnel RTT "
-                       "amortized).  Derived slices subtract measured "
+                       "amortized; timing_floor_ms is the measured "
+                       "residual).  Derived slices subtract measured "
                        "sub-programs; XLA fusion differences across "
                        "sub-programs are the error bar."),
               "rows": rows}
@@ -255,10 +297,12 @@ def main():
         try:
             with open(path) as f:
                 old = json.load(f)
-            have = {(r["workload"], r["batch"]) for r in rows}
+            have = {(r.get("workload"), r.get("batch"), r.get("mode"))
+                    for r in rows}
             merged["rows"] = rows + [
                 r for r in old.get("rows", [])
-                if (r.get("workload"), r.get("batch")) not in have]
+                if (r.get("workload"), r.get("batch"),
+                    r.get("mode")) not in have]
         except Exception:
             pass
     with open(path, "w") as f:
