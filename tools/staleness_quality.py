@@ -1,13 +1,17 @@
-"""Quality vs leaf-cache staleness (refresh_every=k) — VERDICT r03 item 2.
+"""Quality vs leaf-cache staleness (refresh_every=k) — VERDICT r03 item 2,
+extended to k=8 in round 5 (BIGSCALE_r05.json reports a k=8 composite of
+187.7M edges/s at 1M/b131072; the claim needs the quality arm).
 
-Runs the cached supervised pipeline for k in {1, 2, 4} on Cora and Pubmed
+Runs the cached supervised pipeline for k in {1, 2, 4, 8} on Cora and Pubmed
 (50 epochs, the reference protocol length) and records best val/test F1,
 so the throughput lever measured in BIGSCALE_r05.json is defended by a
 quality measurement rather than an assumption.  k=1 is the round-3
 semantics (refresh every epoch).
 
 Run on the TPU:  python tools/staleness_quality.py
-Writes STALENESS_r04.json.
+Writes STALENESS_r05.json (round-4 CPU-backend capture stays in
+STALENESS_r04.json; this run is on the chip, so the wall_s column also
+shows the on-chip refresh-vs-step payoff, VERDICT r04 weak #2).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from graphsage_tpu.data import load_cora, load_pubmed  # noqa: E402
 from graphsage_tpu.models import GraphSageConfig  # noqa: E402
 from graphsage_tpu.train import CachedTrainer, TrainConfig  # noqa: E402
 
-KS = (1, 2, 4)
+KS = (1, 2, 4, 8)
 
 
 def run(ds, b_sz: int, k: int) -> dict:
@@ -53,7 +57,7 @@ def main() -> None:
         ds = loader()
         out[name] = [run(ds, b_sz, k) for k in KS]
         print(f"# {name}: {json.dumps(out[name])}", file=sys.stderr)
-    with open("STALENESS_r04.json", "w") as f:
+    with open("STALENESS_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
