@@ -90,20 +90,20 @@ def restore_checkpoint(path: str, params_like, with_jax_key: bool = False):
         "max_vali_f1": np.asarray([0.0], dtype=np.float64),
         "rng": _rng_state_to_tree(np.random.RandomState(0).get_state()),
     }
-    jax_key = None
-    if with_jax_key:
-        try:
-            t2 = dict(target)
-            t2["jax_key"] = np.zeros(2, dtype=np.uint32)
-            tree = ckptr.restore(path, target=t2)
-            jax_key = np.asarray(tree["jax_key"], dtype=np.uint32)
-        except Exception:
-            # pre-round-5 checkpoint without the key leaf: restore the
-            # rest; the caller keeps its fresh key (resume still correct,
-            # just not bit-exact — the old behavior)
-            tree = ckptr.restore(path, target=target)
-    else:
-        tree = ckptr.restore(path, target=target)
+    # A checkpoint may or may not carry the jax_key leaf (cached pipelines
+    # save it, compact ones don't) and StandardCheckpointer rejects any
+    # target/on-disk structure mismatch — so try the caller's preferred
+    # structure first and fall back to the other; the key is returned (or
+    # None) only when asked for, discarded otherwise.
+    t2 = dict(target)
+    t2["jax_key"] = np.zeros(2, dtype=np.uint32)
+    first, second = (t2, target) if with_jax_key else (target, t2)
+    try:
+        tree = ckptr.restore(path, target=first)
+    except Exception:
+        tree = ckptr.restore(path, target=second)
+    jax_key = (np.asarray(tree["jax_key"], dtype=np.uint32)
+               if "jax_key" in tree else None)
     rng = np.random.RandomState(0)
     rng.set_state(_tree_to_rng_state(tree["rng"]))
     out = (jax.tree_util.tree_map(np.asarray, tree["params"]),

@@ -130,3 +130,22 @@ def test_restore_old_checkpoint_without_key_is_graceful(tmp_path):
         path, params, with_jax_key=True)
     assert key is None
     assert r_epoch == 3 and abs(r_best - 0.5) < 1e-9
+
+
+def test_old_api_restores_key_bearing_checkpoint(tmp_path):
+    """The 4-tuple restore API (with_jax_key=False) must tolerate a
+    round-5 cached-pipeline checkpoint that carries the jax_key leaf —
+    orbax rejects structure mismatches, so the restore falls back to the
+    key-bearing target and discards the key."""
+    cfg = GraphSageConfig(num_layers=1, input_size=4, out_size=4)
+    params = {"sage": init_graphsage(jax.random.PRNGKey(0), cfg),
+              "clf": init_classifier(jax.random.PRNGKey(0), 4, 2)}
+    path = str(tmp_path / "ck_with_key")
+    save_checkpoint(path, params, epoch=2, max_vali_f1=0.25,
+                    rng=np.random.RandomState(5),
+                    jax_key=jax.random.PRNGKey(7))
+    r_params, r_epoch, r_best, r_rng = restore_checkpoint(path, params)
+    assert r_epoch == 2 and abs(r_best - 0.25) < 1e-9
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(params)),
+                    jax.tree_util.tree_leaves(r_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

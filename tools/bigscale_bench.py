@@ -100,8 +100,10 @@ def main():
 
     import os
     # GS_BIGSCALE_ROWS limits which rows run (comma list of: 65536,
-    # 131072, unsup) so a capture can fit inside a short healthy-tunnel
-    # phase and be merged across runs; default = all.
+    # 131072, unsup, direct) so a capture can fit inside a short
+    # healthy-tunnel phase and be merged across runs; default = all but
+    # the direct k-cycle rows (those re-measure what the composite column
+    # already covers — run them explicitly to validate it).
     only = set((os.environ.get("GS_BIGSCALE_ROWS") or
                 "65536,131072,unsup").split(","))
 
@@ -193,6 +195,59 @@ def main():
         rows.append(row)
         print("#", json.dumps(row), file=sys.stderr)
 
+    # direct k-cycle measurement: the staleness_edges_per_sec column above
+    # is an arithmetic composite (step-only + refresh/k); this times an
+    # ACTUAL refresh_every=k cycle — one refresh + k reuse-epochs threaded
+    # through params, one device fetch at the end — so the headline k=8
+    # number is a measurement, not a composition.
+    if "direct" in only:
+        import jax.numpy as jnp
+
+        from bench import edges_per_batch
+
+        batch = 131072
+        steps = -(-train_split // batch)
+        (mcfg, params, feats, neighbors, degrees, batches,
+         labels) = _setup(ds, pad, "bfloat16", batch, steps, 128)
+        reuse_fn = jax.jit(make_cached_sup_epoch_reuse(mcfg, fanout=10))
+        key = jax.random.PRNGKey(824)
+        cache = refresh_fn(key, feats, neighbors, degrees)
+        p, losses = reuse_fn(params, feats, cache[0], cache[1], neighbors,
+                             degrees, batches, labels, key)
+        np.asarray(losses)  # compile + warm both programs
+        for k in (4, 8):
+            reps = []
+            for r in range(3):
+                p = params
+                kk = jax.random.PRNGKey(1000 + r)
+                t1 = time.perf_counter()
+                kk, kr = jax.random.split(kk)
+                cache = refresh_fn(kr, feats, neighbors, degrees)
+                for _ in range(k):
+                    kk, ke = jax.random.split(kk)
+                    p, losses = reuse_fn(p, feats, cache[0], cache[1],
+                                         neighbors, degrees, batches,
+                                         labels, ke)
+                np.asarray(losses)
+                reps.append(time.perf_counter() - t1)
+            wall = float(np.median(reps))
+            edges_cycle = k * steps * edges_per_batch(batch, 2, 10)
+            row = {
+                "name": f"powerlaw1M_b{batch}_cached_bfloat16_direct_k{k}",
+                "pipeline": "cached", "dtype": "bfloat16", "agg": "MEAN",
+                "batch": batch, "nodes": ds.num_nodes,
+                "refresh_every": k, "honest_T": steps,
+                "cycle_wall_s": round(wall, 4),
+                "cycle_rep_s": [round(x, 4) for x in reps],
+                "edges_per_sec": round(edges_cycle / wall, 1),
+                "note": ("DIRECT refresh_every=k cycle: 1 refresh + k "
+                         "reuse-epochs timed as one window (single final "
+                         "fetch) — validates the composed "
+                         "staleness_edges_per_sec column"),
+            }
+            rows.append(row)
+            print("#", json.dumps(row), file=sys.stderr)
+
     # unsup (normal) at scale, honest T for B=32768
     if "unsup" in only:
         from bench import run_unsup_row
@@ -215,7 +270,8 @@ def main():
                  "refresh amortization).  staleness_edges_per_sec composes "
                  "step-only + refresh/k for refresh_every=k "
                  "(train/cached.py reuse drivers; quality vs k in "
-                 "STALENESS_r04.json)."),
+                 "STALENESS_r05.json, on-chip).  direct_k rows, when "
+                 "captured, measure the actual k-cycle end-to-end."),
         "rows": rows,
     }
     # merge with rows captured by earlier (row-subset) runs: fresh rows win
