@@ -33,7 +33,10 @@ import numpy as np
 
 from graphsage_tpu.data.loaders import Dataset
 from graphsage_tpu.losses import supervised_nll, unsup_loss_from_pairbatch
-from graphsage_tpu.utils.obs import fetch_with_deadline
+from graphsage_tpu.utils.obs import (
+    fetch_with_deadline,
+    maybe_inject_test_wedge,
+)
 from graphsage_tpu.models import (
     GraphSageConfig,
     classifier_apply,
@@ -410,16 +413,7 @@ class Trainer:
         tcfg = self.tcfg
         for epoch in range(self.epoch, tcfg.epochs):
             self.epoch = epoch
-            # test hook for the auto-resume supervisor (tools/
-            # run_supervised.py): simulate the remote backend wedging a
-            # fetch mid-run, exactly once per sentinel file — the
-            # relaunched process sees the sentinel and trains through
-            _wedge = os.environ.get("GS_TEST_WEDGE_SENTINEL")
-            if _wedge and epoch >= 1 and not os.path.exists(_wedge):
-                open(_wedge, "w").close()
-                from graphsage_tpu.utils.obs import FetchDeadlineError
-                raise FetchDeadlineError(
-                    "injected test wedge (GS_TEST_WEDGE_SENTINEL)")
+            maybe_inject_test_wedge(epoch)
             if tcfg.verbose:
                 print(f"----------------------EPOCH {epoch}"
                       "-----------------------")

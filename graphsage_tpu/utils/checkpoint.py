@@ -8,12 +8,23 @@ state (the host RNG drives neighbor sampling, walks, negatives, and batch
 shuffling — SURVEY §3 RNG notes), and — for the cached pipelines — the
 device PRNG key that drives in-jit sampling and the leaf-cache draw.
 
-Exactness scope: compact and cached/cached_dist resumes replay the unbroken
-run bit-for-bit (tests/test_checkpoint.py), with ONE documented exception —
-under ``refresh_every`` k > 1 a resume redraws the leaf cache at the resumed
-epoch rather than reusing the (unsaved, device-resident) stale cache from
-the last refresh epoch; quality-neutral per STALENESS_r04.json, and the
-subsequent refresh schedule realigns at the next multiple of k.
+Exactness scope — supervised runs: compact and cached/cached_dist resumes
+replay the unbroken run bit-for-bit (tests/test_checkpoint.py), with ONE
+documented exception — under ``refresh_every`` k > 1 a resume redraws the
+leaf cache at the resumed epoch rather than reusing the (unsaved,
+device-resident) stale cache from the last refresh epoch; quality-neutral
+per STALENESS_r04.json, and the subsequent refresh schedule realigns at
+the next multiple of k.
+
+unsup/plus_unsup runs resume CORRECTLY but not bit-exactly: the
+checkpoint is written mid-``train_classification`` (on val improvement),
+after which the unbroken run keeps consuming the host RNG (clf batch
+permutations) and, with ``strict_clf_eval``, the device key — a resume
+restarts at the next epoch boundary with the mid-classification RNG
+state, so the two streams diverge from there.  Making that path exact
+would need the checkpoint to record its position inside the clf fit;
+deliberately out of scope (the reference re-fits the classifier from
+scratch every eval anyway, src/main.py protocol).
 """
 
 from __future__ import annotations
@@ -92,16 +103,26 @@ def restore_checkpoint(path: str, params_like, with_jax_key: bool = False):
     }
     # A checkpoint may or may not carry the jax_key leaf (cached pipelines
     # save it, compact ones don't) and StandardCheckpointer rejects any
-    # target/on-disk structure mismatch — so try the caller's preferred
-    # structure first and fall back to the other; the key is returned (or
-    # None) only when asked for, discarded otherwise.
+    # target/on-disk structure mismatch — probe the on-disk metadata for
+    # the leaf and restore against the matching structure, so the common
+    # paths never pay a guaranteed-failing restore (and a genuinely
+    # corrupt checkpoint surfaces its real error, not a structure
+    # mismatch from the wrong target).  The key is returned (or None)
+    # only when asked for, discarded otherwise.
     t2 = dict(target)
     t2["jax_key"] = np.zeros(2, dtype=np.uint32)
-    first, second = (t2, target) if with_jax_key else (target, t2)
     try:
-        tree = ckptr.restore(path, target=first)
+        has_key = "jax_key" in ckptr.metadata(path).item_metadata
     except Exception:
-        tree = ckptr.restore(path, target=second)
+        has_key = None  # metadata API unavailable: fall back to try-both
+    if has_key is None:
+        first, second = (t2, target) if with_jax_key else (target, t2)
+        try:
+            tree = ckptr.restore(path, target=first)
+        except Exception:
+            tree = ckptr.restore(path, target=second)
+    else:
+        tree = ckptr.restore(path, target=t2 if has_key else target)
     jax_key = (np.asarray(tree["jax_key"], dtype=np.uint32)
                if "jax_key" in tree else None)
     rng = np.random.RandomState(0)

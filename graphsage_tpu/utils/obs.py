@@ -77,6 +77,23 @@ class FetchDeadlineError(RuntimeError):
     """A device→host fetch exceeded its deadline (wedged backend RPC)."""
 
 
+def maybe_inject_test_wedge(epoch: int) -> None:
+    """Fault-injection seam for the auto-resume supervisor's tests
+    (tools/run_supervised.py): when ``GS_TEST_WEDGE_SENTINEL`` names a
+    path that does not exist yet and ``epoch >= 1`` (so at least one
+    eval/checkpoint opportunity has passed), create the sentinel and
+    raise the same :class:`FetchDeadlineError` a real wedged fetch
+    raises — exactly once per sentinel file, so the relaunched process
+    trains through.  A no-op unless the env var is set; lives here, with
+    the failure machinery it simulates, rather than in the trainers'
+    epoch loops."""
+    sentinel = os.environ.get("GS_TEST_WEDGE_SENTINEL")
+    if sentinel and epoch >= 1 and not os.path.exists(sentinel):
+        open(sentinel, "w").close()
+        raise FetchDeadlineError(
+            "injected test wedge (GS_TEST_WEDGE_SENTINEL)")
+
+
 def fetch_with_deadline(value, label: str = "device fetch",
                         timeout_s: float | None = None, convert=float,
                         stream=None):

@@ -73,3 +73,47 @@ def test_bounded_restarts_give_up(tmp_path):
     kinds = [e["event"] for e in events]
     assert kinds == ["launch", "exit", "restart", "launch", "exit",
                      "giving_up"], kinds
+
+
+def test_newest_checkpoint_scoped_by_run_name(tmp_path):
+    """A shared checkpoint_dir can hold several runs' checkpoints; the
+    supervisor must only ever resume its OWN run's (matching
+    model_best_<name>_), never another run's newer one."""
+    from tools.run_supervised import _newest_checkpoint
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    a = ck / "model_best_a_ep1_0.5000"
+    b = ck / "model_best_b_ep7_0.9000"
+    a.mkdir()
+    b.mkdir()
+    os.utime(a, (1000, 1000))
+    os.utime(b, (2000, 2000))  # b is newer — and belongs to another run
+    assert _newest_checkpoint(str(ck), "a") == str(a)
+    assert _newest_checkpoint(str(ck), "b") == str(b)
+    assert _newest_checkpoint(str(ck), "c") is None
+
+
+def test_wedge_before_first_checkpoint_preserves_user_resume(tmp_path):
+    """If the child wedges before writing any checkpoint, the relaunch
+    must keep the operator's own --resume flag — stripping it would
+    silently restart their run from scratch.  (--no_such_flag makes the
+    child exit 2 deterministically; --wedge_rc 2 maps that to 'wedged'.)"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    log = str(tmp_path / "events.jsonl")
+    cmd = [sys.executable, _SUP, "--max_restarts", "1", "--wedge_rc", "2",
+           "--log", log, "--",
+           "--resume", "/prev/model_best_prod_ep40_0.93", "--no_such_flag"]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=str(tmp_path), timeout=300)
+    assert proc.returncode == 2
+    with open(log) as f:
+        events = [json.loads(ln) for ln in f if ln.strip()]
+    restarts = [e for e in events if e["event"] == "restart"]
+    assert restarts, events
+    assert all(e["resume"] == "/prev/model_best_prod_ep40_0.93"
+               for e in restarts)
+    relaunch = [e for e in events if e["event"] == "launch"][1]
+    assert "--resume" in relaunch["cmd"]
+    assert "/prev/model_best_prod_ep40_0.93" in relaunch["cmd"]

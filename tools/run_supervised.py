@@ -44,11 +44,16 @@ import sys
 import time
 
 
-def _newest_checkpoint(ckpt_dir: str) -> str | None:
+def _newest_checkpoint(ckpt_dir: str, run_name: str) -> str | None:
+    """Newest checkpoint OF THIS RUN — the CLI names them
+    model_best_<name>_ep<E>_<f1>, and a shared checkpoint_dir may hold
+    other runs' checkpoints; resuming from a different run's params/RNG
+    would silently continue the wrong model."""
     if not os.path.isdir(ckpt_dir):
         return None
+    prefix = f"model_best_{run_name}_"
     entries = [os.path.join(ckpt_dir, e) for e in os.listdir(ckpt_dir)
-               if e.startswith("model_best_")]
+               if e.startswith(prefix)]
     if not entries:
         return None
     return max(entries, key=os.path.getmtime)
@@ -106,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[supervisor] {line}", file=sys.stderr)
 
     ckpt_dir = _flag_value(cli_args, "--checkpoint_dir", "checkpoints")
+    run_name = _flag_value(cli_args, "--name", "debug")
     attempt = 0
     args = cli_args
     while True:
@@ -125,15 +131,19 @@ def main(argv: list[str] | None = None) -> int:
                 fp.close()
             return rc
         attempt += 1
-        ckpt = _newest_checkpoint(ckpt_dir)
-        args = _strip_flag(_strip_flag(cli_args, "--resume"),
-                           "--max_vali_f1")
+        ckpt = _newest_checkpoint(ckpt_dir, run_name)
         if ckpt is not None:
-            args = args + ["--resume", ckpt]
+            args = _strip_flag(_strip_flag(cli_args, "--resume"),
+                               "--max_vali_f1") + ["--resume", ckpt]
             log("restart", attempt=attempt, resume=ckpt)
         else:
-            # wedged before the first checkpoint: start over
-            log("restart", attempt=attempt, resume=None)
+            # wedged before this run wrote its first checkpoint: relaunch
+            # with the ORIGINAL args untouched — if the operator passed
+            # --resume themselves, stripping it here would silently
+            # restart their run from scratch
+            args = cli_args
+            log("restart", attempt=attempt,
+                resume=_flag_value(cli_args, "--resume", None))
 
 
 if __name__ == "__main__":

@@ -126,7 +126,11 @@ def anatomy(ds, pad, batch, dtype="bfloat16", hidden=128, fanout=10):
     ccache = cast_compute(cache_feats, mcfg)
 
     def s_l1(it, c, w1, cfeats, ccache):
-        w = jax.tree_util.tree_map(lambda x: x + c * 1e-30, w1)
+        # perturb in the WEIGHT's dtype: w1 is already cast to bf16, and
+        # bf16 + f32-carry promotes the whole GEMM to f32 (upcasting the
+        # slice the real step runs in bf16) — cast the epsilon, not x
+        w = jax.tree_util.tree_map(
+            lambda x: x + (c * 1e-30).astype(x.dtype), w1)
         t = sage_layer_apply(w, cfeats, ccache, gcn=False)
         return c + jnp.sum(t.astype(jnp.float32)) * 1e-20
 
@@ -139,7 +143,8 @@ def anatomy(ds, pad, batch, dtype="bfloat16", hidden=128, fanout=10):
     jax.block_until_ready(ids_static)
 
     def s_l1_gather(it, c, w1, cfeats, ccache, ids):
-        w = jax.tree_util.tree_map(lambda x: x + c * 1e-30, w1)
+        w = jax.tree_util.tree_map(
+            lambda x: x + (c * 1e-30).astype(x.dtype), w1)
         t = sage_layer_apply(w, cfeats, ccache, gcn=False)
         g = jnp.take(t, ids, axis=0)
         return c + jnp.sum(g.astype(jnp.float32)) * 1e-20
@@ -244,8 +249,13 @@ def anatomy(ds, pad, batch, dtype="bfloat16", hidden=128, fanout=10):
         ids_static.shape[0] / (res["gather_bound_ms"] / 1e3), 1)
 
     # derived slices
+    # every measured slice carries +floor additively; fwd − l1pg − samp
+    # nets to −1 floor (one +f from fwd, two −f from the subtrahends), so
+    # add one back — without this the derived slice is understated by a
+    # full floor (the source of the negative values in earlier captures)
     rec("upper_plus_head_fwd_ms",
-        res["fwd_ms"] - res["l1_gemm_plus_gather_ms"] - res["sampling_ms"])
+        res["fwd_ms"] - res["l1_gemm_plus_gather_ms"] - res["sampling_ms"]
+        + res["timing_floor_ms"])
     rec("backward_ms", res["fwd_bwd_ms"] - res["fwd_ms"])
     rec("opt_ms", res["step_ms"] - res["fwd_bwd_ms"])
     return res
