@@ -290,5 +290,9 @@ def load_dataset(name: str, seed: int = 824, **kw) -> Dataset:
         parts = name.split(":")
         n = int(parts[1]) if len(parts) > 1 else 100_000
         e = int(parts[2]) if len(parts) > 2 else 10 * n
+        # the CLI/infer entrypoints pass root= unconditionally (a file
+        # loader argument); the generator reads no files — drop it
+        # instead of raising on --data_root + a synthetic dataset
+        kw = {k: v for k, v in kw.items() if k != "root"}
         return synthetic_power_law(n, e, seed=seed, **kw)
     raise ValueError(f"unknown dataset {name!r}")

@@ -43,6 +43,7 @@ import numpy as np
 from graphsage_tpu.data.graph import PaddedAdjacency
 from graphsage_tpu.models.graphsage import GraphSageConfig, init_graphsage
 from graphsage_tpu.models.layers import (classifier_apply, init_classifier,
+                                         mean_pretransform,
                                          sage_layer_apply)
 from graphsage_tpu.models.lstm_agg import lstm_aggregate
 from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
@@ -93,19 +94,15 @@ def _layer_full(cfg: GraphSageConfig, params: dict, layer: int,
         # non-gcn), then gather/average H-wide rows — identical math to
         # aggregate-then-transform up to matmul reassociation, with D/H x
         # less gather traffic (models/graphsage.py pretransform rationale).
-        din = h.shape[1]
         if cfg.gcn:
-            z = jnp.dot(h, w.T, preferred_element_type=jnp.float32
-                        ).astype(h.dtype)                       # [N, H]
+            z = mean_pretransform(w, h, gcn=True)               # [N, H]
 
             def blk(args):
                 i, m, r = args
                 return jax.nn.relu(mean_aggregate(z, i, m)
                                    ).astype(h.dtype)
         else:
-            w_stack = jnp.concatenate([w[:, :din], w[:, din:]], axis=0)
-            z = jnp.dot(h, w_stack.T, preferred_element_type=jnp.float32
-                        ).astype(h.dtype)                       # [N, 2H]
+            z = mean_pretransform(w, h)                         # [N, 2H]
 
             def blk(args):
                 i, m, r = args
@@ -267,21 +264,14 @@ def full_graph_embeddings_sharded(params: dict, cfg: GraphSageConfig,
             w = params["layers"][layer]["weight"]
             hdim = w.shape[0]
             if agg_func == "MEAN":
-                din = h_loc.shape[1]
                 if cfg.gcn:
-                    z_loc = jnp.dot(h_loc, w.T,
-                                    preferred_element_type=jnp.float32
-                                    ).astype(h_loc.dtype)
+                    z_loc = mean_pretransform(w, h_loc, gcn=True)
                     z = jax.lax.all_gather(z_loc, axis, axis=0, tiled=True)
                     h_loc = jax.nn.relu(
                         mean_aggregate(z, idx_loc, mask_loc)
                     ).astype(z.dtype)
                 else:
-                    w_stack = jnp.concatenate([w[:, :din], w[:, din:]],
-                                              axis=0)
-                    z_loc = jnp.dot(h_loc, w_stack.T,
-                                    preferred_element_type=jnp.float32
-                                    ).astype(h_loc.dtype)
+                    z_loc = mean_pretransform(w, h_loc)
                     z = jax.lax.all_gather(z_loc, axis, axis=0, tiled=True)
                     agg = mean_aggregate(z[:, hdim:], idx_loc, mask_loc)
                     h_loc = jax.nn.relu(agg + z_loc[:, :hdim]

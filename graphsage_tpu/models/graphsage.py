@@ -29,7 +29,11 @@ from typing import Any, Sequence
 import jax
 import jax.numpy as jnp
 
-from graphsage_tpu.models.layers import init_sage_layer, sage_layer_apply
+from graphsage_tpu.models.layers import (
+    init_sage_layer,
+    mean_pretransform,
+    sage_layer_apply,
+)
 from graphsage_tpu.models.lstm_agg import init_lstm_agg, lstm_aggregate
 from graphsage_tpu.ops.aggregate import max_aggregate, mean_aggregate
 
@@ -155,20 +159,15 @@ def graphsage_apply_gathered(params: dict, cfg: GraphSageConfig,
         return graphsage_apply(params, cfg, x0, frontiers)
 
     w = params["layers"][0]["weight"]
-    d = feats.shape[1]
     # compose index maps: frontier slots → x0 rows → table rows
     idx_t = jnp.take(x0_ids, f0.idx, axis=0)
     self_t = jnp.take(x0_ids, f0.self_idx, axis=0)
     if cfg.gcn:
-        h_agg = jnp.dot(feats, w.T, preferred_element_type=jnp.float32
-                        ).astype(feats.dtype)
+        h_agg = mean_pretransform(w, feats, gcn=True)
         h = jax.nn.relu(mean_aggregate(h_agg, idx_t, f0.mask))
     else:
-        # one fused [N, D]·[D, 2H] pass (reads the feature table once);
-        # columns [:H] = self part, [H:] = agg part
-        w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)  # [2H, D]
-        h_cat = jnp.dot(feats, w_stack.T, preferred_element_type=jnp.float32
-                        ).astype(feats.dtype)                    # [N, 2H]
+        # one fused [N, D]·[D, 2H] pass (reads the feature table once)
+        h_cat = mean_pretransform(w, feats)                      # [N, 2H]
         hdim = w.shape[0]
         agg = mean_aggregate(h_cat[:, hdim:], idx_t, f0.mask)
         h = jax.nn.relu(agg + jnp.take(h_cat[:, :hdim], self_t, axis=0))
@@ -207,15 +206,11 @@ def _mean_pretransform_layer(cfg: GraphSageConfig, layer_params: dict,
     relu(mean((W_agg·h)[neigh]) + (W_self·h)[self]) — exact by linearity of
     the mean (reference semantics src/models.py:209-220 + :311-314)."""
     w = layer_params["weight"]                     # [H, 2D] (or [H, D] gcn)
-    d = h.shape[1]
     if cfg.gcn:
-        h_agg = jnp.dot(h, w.T, preferred_element_type=jnp.float32
-                        ).astype(h.dtype)          # [M, H]
+        h_agg = mean_pretransform(w, h, gcn=True)  # [M, H]
         agg = mean_aggregate(h_agg, frontier.idx, frontier.mask)
         return jax.nn.relu(agg)
-    w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)  # [2H, D]
-    h_cat = jnp.dot(h, w_stack.T, preferred_element_type=jnp.float32
-                    ).astype(h.dtype)              # [M, 2H], one fused pass
+    h_cat = mean_pretransform(w, h)                # [M, 2H], one fused pass
     hdim = w.shape[0]
     agg = mean_aggregate(h_cat[:, hdim:], frontier.idx, frontier.mask)
     out = agg + jnp.take(h_cat[:, :hdim], frontier.self_idx, axis=0)

@@ -37,6 +37,28 @@ def init_sage_layer(key: jax.Array, input_size: int, out_size: int,
     return {"weight": xavier_uniform(key, (out_size, in_total), dtype)}
 
 
+def mean_pretransform(w: jax.Array, h: jax.Array,
+                      gcn: bool = False) -> jax.Array:
+    """Transform-first half of the MEAN pretransform: z = h · W_partᵀ.
+
+    The mean is linear, so relu(W·[self ‖ mean(neigh)]) can be computed as
+    relu(mean(z_agg[neigh]) + z_self[self]) with the table transformed
+    ONCE — D/H x less gather traffic (models/graphsage.py rationale;
+    reference semantics src/models.py:209-220 + :311-314).  Returns
+    [N, H] for gcn, else [N, 2H] with the SELF columns in ``[:, :H]`` and
+    the AGG columns in ``[:, H:]`` — the one column convention every
+    caller (dense forward, pretransform layers, serving, the sharded
+    epoch, the halo step) must agree on, defined here exactly once.
+    ``w`` is the sage layer's [H, 2D] (or [H, D] gcn) weight."""
+    if gcn:
+        return jnp.dot(h, w.T, preferred_element_type=jnp.float32
+                       ).astype(h.dtype)
+    d = h.shape[1]
+    w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)  # [2H, D]
+    return jnp.dot(h, w_stack.T, preferred_element_type=jnp.float32
+                   ).astype(h.dtype)
+
+
 def sage_layer_apply(params: dict, self_feats: jax.Array,
                      agg_feats: jax.Array, gcn: bool = False) -> jax.Array:
     """relu(concat([self ‖ agg]) @ W.T); gcn mode drops the concat

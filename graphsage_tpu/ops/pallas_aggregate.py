@@ -41,17 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphsage_tpu.ops import aggregate as xla_agg
+from graphsage_tpu.ops.backend import on_tpu as _on_tpu
 
 # VMEM budget for the embedding block (bytes); v5e has ~16 MB/core.
 _VMEM_EMBED_BUDGET = 10 * 1024 * 1024
 _LANE = 128
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
 
 
 def _pad_to(x: jax.Array, size: int, axis: int, value=0):
@@ -103,6 +97,11 @@ def _pallas_aggregate_fwd(embed, idx, mask, kind: str, interpret: bool):
     tile_u = 8
     d_pad = int(np.ceil(d / _LANE) * _LANE)
     tile_d = min(d_pad, 512)
+    # pad the feature dim up to a MULTIPLE of the tile: the grid below is
+    # an exact division, and a remainder (e.g. d=600 -> d_pad=640 over
+    # tile_d=512) would silently drop the tail tile, leaving columns
+    # >= tile_d unwritten
+    d_pad = int(np.ceil(d_pad / tile_d) * tile_d)
     u_pad = int(np.ceil(u / tile_u) * tile_u)
 
     embed_p = _pad_to(embed, d_pad, axis=1)
@@ -188,22 +187,36 @@ def _pallas_max_bwd(interpret, _tag, res, g):
 _pallas_max.defvjp(_pallas_max_fwd, _pallas_max_bwd)
 
 
+def _must_fall_back(embed, interpret: bool) -> bool:
+    """The kernels read single rows at dynamic offsets
+    (``embed_ref[pl.ds(i, 1), :]``); Mosaic can prove the alignment it
+    needs for 32-bit tiles (8, 128) but not for 16-bit (16, 128) — a
+    bf16 embed fails TPU compilation with "cannot statically prove that
+    index in dimension 0 is a multiple of 8".  Route sub-32-bit dtypes
+    to the XLA op on real TPU (interpret mode has no such constraint)."""
+    if not _fits_vmem(embed):
+        return True
+    return not interpret and jnp.dtype(embed.dtype).itemsize < 4
+
+
 def pallas_mean_aggregate(embed, idx, mask, interpret: bool | None = None):
     """Fused masked-mean aggregation.  Falls back to the XLA op when the
-    embedding block exceeds the VMEM budget."""
-    if not _fits_vmem(embed):
-        return xla_agg.mean_aggregate(embed, idx, mask)
+    embedding block exceeds the VMEM budget or the dtype cannot be row-
+    sliced dynamically on TPU (see :func:`_must_fall_back`)."""
     if interpret is None:
         interpret = not _on_tpu()
+    if _must_fall_back(embed, interpret):
+        return xla_agg.mean_aggregate(embed, idx, mask)
     return _pallas_mean(embed, idx, mask.astype(embed.dtype), interpret,
                         "mean")
 
 
 def pallas_max_aggregate(embed, idx, mask, interpret: bool | None = None):
-    """Fused masked-max aggregation (VMEM-resident embed path)."""
-    if not _fits_vmem(embed):
-        return xla_agg.max_aggregate(embed, idx, mask)
+    """Fused masked-max aggregation (VMEM-resident embed path; same
+    fallback rules as :func:`pallas_mean_aggregate`)."""
     if interpret is None:
         interpret = not _on_tpu()
+    if _must_fall_back(embed, interpret):
+        return xla_agg.max_aggregate(embed, idx, mask)
     return _pallas_max(embed, idx, mask.astype(embed.dtype), interpret,
                        "max")

@@ -34,12 +34,15 @@ def dense_pair_scores(emb: jax.Array, target_rows: jax.Array,
                       eps: float = 1e-8) -> jax.Array:
     """[U, H] x [B] -> [B, U] cosine scores (XLA path; the oracle).
     Normalization runs in float32 even under bf16 compute."""
+    out_dtype = emb.dtype  # before the f32 cast shadows it: the oracle
+    # must return the INPUT dtype, like the Pallas path, or the two
+    # platforms' loss math would run in different precisions
     emb = emb.astype(jnp.float32)
     norms = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), eps)
     unit = emb / norms
     targets = jnp.take(unit, target_rows, axis=0)        # [B, H]
     return jnp.dot(targets, unit.T, preferred_element_type=jnp.float32
-                   ).astype(emb.dtype)
+                   ).astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -83,11 +86,8 @@ def pair_scores(emb: jax.Array, target_rows: jax.Array,
     with an analytic custom VJP; the XLA oracle elsewhere (interpret-mode
     Pallas is slow on CPU).  Gradient parity is tested in
     tests/test_sddmm.py."""
-    try:
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        on_tpu = False
-    if on_tpu:
+    from graphsage_tpu.ops.backend import on_tpu
+    if on_tpu():
         return _pallas_scores_diff(emb, target_rows, eps)
     return dense_pair_scores(emb, target_rows, eps=eps)
 
@@ -170,10 +170,8 @@ def pallas_pair_scores(emb: jax.Array, target_rows: jax.Array,
                        interpret: bool | None = None) -> jax.Array:
     """Fused normalize+matmul score block on the MXU: [B, U]."""
     if interpret is None:
-        try:
-            interpret = jax.devices()[0].platform not in ("tpu", "axon")
-        except Exception:
-            interpret = True
+        from graphsage_tpu.ops.backend import on_tpu
+        interpret = not on_tpu()
     u, h = emb.shape
     b = target_rows.shape[0]
     tb = min(128, max(8, b))

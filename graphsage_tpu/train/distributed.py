@@ -161,11 +161,8 @@ def _encode_local(p, mcfg: GraphSageConfig, use_pre: bool, axis: str,
                                addr_slot, addr_is_local, addr_local, axis)
         return graphsage_apply(p["sage"], mcfg, x0, frontiers)
     w = p["sage"]["layers"][0]["weight"]          # [H, 2D]
-    d = feats_local.shape[1]
-    w_stack = jnp.concatenate([w[:, :d], w[:, d:]], axis=0)
-    h_local = jnp.dot(feats_local, w_stack.T,
-                      preferred_element_type=jnp.float32
-                      ).astype(feats_local.dtype)  # [rows, 2H]
+    from graphsage_tpu.models.layers import mean_pretransform
+    h_local = mean_pretransform(w, feats_local)   # [rows, 2H]
     x0t = halo_gather_local(h_local, requests, addr_owner, addr_slot,
                             addr_is_local, addr_local, axis)   # [u0, 2H]
     hdim = w.shape[0]

@@ -147,3 +147,13 @@ def test_to_padded_sampled_matches_topology():
         row = set(pad.neighbors[v][:pad.degrees[v]].tolist())
         assert row <= set(g.neighbors(v).tolist())
         assert pad.degrees[v] == min(len(g.neighbors(v)), 4)
+
+
+def test_load_dataset_powerlaw_ignores_data_root():
+    """The CLI/serving entrypoints forward root= whenever --data_root is
+    set; the synthetic generator reads no files and must not raise on it
+    (it used to TypeError on the unexpected keyword)."""
+    from graphsage_tpu.data.loaders import load_dataset
+
+    ds = load_dataset("powerlaw:300:1200", seed=1, root="/nonexistent")
+    assert ds.num_nodes == 300

@@ -68,3 +68,39 @@ def test_pallas_unaligned_shapes(rng):
                           jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_wide_feature_dim_covers_tail_tile(rng):
+    """d between one and two feature tiles (e.g. 600 -> d_pad 640 over
+    tile_d 512) must not truncate the grid: columns >= 512 were left
+    unwritten before the grid padded d up to a tile multiple."""
+    embed, idx, mask = random_case(rng, u=16, s=5, m=64, d=600)
+    got = pallas_mean_aggregate(jnp.asarray(embed), jnp.asarray(idx),
+                                jnp.asarray(mask), interpret=True)
+    want = mean_aggregate(jnp.asarray(embed), jnp.asarray(idx),
+                          jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # the tail columns specifically
+    np.testing.assert_allclose(np.asarray(got)[:, 512:],
+                               np.asarray(want)[:, 512:],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_sub32bit_dtype_falls_back_on_tpu(rng):
+    """Mosaic cannot prove the dynamic row-slice alignment 16-bit tiles
+    need, so a bf16 embed must route to the XLA op on real TPU (it would
+    otherwise crash at compile time) — and still give XLA semantics."""
+    from graphsage_tpu.ops.pallas_aggregate import _must_fall_back
+
+    embed, idx, mask = random_case(rng, u=8, s=4, m=32, d=128)
+    e16 = jnp.asarray(embed, dtype=jnp.bfloat16)
+    assert _must_fall_back(e16, interpret=False)
+    assert not _must_fall_back(jnp.asarray(embed), interpret=False)
+    assert not _must_fall_back(e16, interpret=True)  # CPU tests keep
+    # exercising the kernel in interpret mode
+    got = pallas_mean_aggregate(e16, jnp.asarray(idx), jnp.asarray(mask),
+                                interpret=False)
+    want = mean_aggregate(e16, jnp.asarray(idx), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(want, dtype=np.float32))

@@ -141,3 +141,14 @@ def test_pair_loss_scores_dispatch(rng):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dense_scores_preserve_input_dtype():
+    """The oracle must return the INPUT dtype like the Pallas path does —
+    it used to shadow `emb` with its f32 cast, so the final astype was a
+    no-op and CPU/TPU loss math ran in different precisions."""
+    emb = jnp.asarray(np.random.RandomState(0).randn(12, 8),
+                      dtype=jnp.bfloat16)
+    t = jnp.asarray([0, 3, 5], dtype=jnp.int32)
+    assert dense_pair_scores(emb, t).dtype == jnp.bfloat16
+    assert dense_pair_scores(emb.astype(jnp.float32), t).dtype == jnp.float32
