@@ -35,17 +35,22 @@ def _sample_one_hop(key: jax.Array, neighbors: jax.Array, degrees: jax.Array,
     keys = jax.random.uniform(key, (m, p))
     slot = jnp.arange(p)[None, :]
     keys = jnp.where(slot < deg[:, None], keys, jnp.inf)
-    if fanout < p:
-        _, picked = jax.lax.top_k(-keys, fanout)       # smallest keys
-        # materialize picks with a one-hot select-reduce instead of
-        # take_along_axis: XLA lowers the latter to a per-element gather
-        # (~80M elem/s on TPU — 5.5 ms at [45k, 32]); the [M, K, P]
-        # compare+where+sum stays on the VPU and fuses (~0.1 ms)
-        onehot = picked[:, :, None] == slot[None, :, :]        # [M, K, P]
-        samples = jnp.sum(jnp.where(onehot, rows[:, None, :], 0), axis=-1)
-    else:
-        # adjacency narrower than fanout: take the whole row
-        samples = jnp.pad(rows, ((0, 0), (0, fanout - p)))
+    # Taking the k smallest keys = uniform sampling w/o replacement; when
+    # the padded row is narrower than the fanout the same top_k over ALL
+    # p slots yields the whole row in RANDOM order — the take-all case
+    # must still be a random permutation (the LSTM aggregator's slot
+    # order IS the paper's random permutation; a fixed CSR-order prefix
+    # here would quietly make the LSTM sequence deterministic).
+    kk = min(fanout, p)
+    _, picked = jax.lax.top_k(-keys, kk)               # smallest keys
+    # materialize picks with a one-hot select-reduce instead of
+    # take_along_axis: XLA lowers the latter to a per-element gather
+    # (~80M elem/s on TPU — 5.5 ms at [45k, 32]); the [M, K, P]
+    # compare+where+sum stays on the VPU and fuses (~0.1 ms)
+    onehot = picked[:, :, None] == slot[None, :, :]            # [M, K, P]
+    samples = jnp.sum(jnp.where(onehot, rows[:, None, :], 0), axis=-1)
+    if kk < fanout:
+        samples = jnp.pad(samples, ((0, 0), (0, fanout - kk)))
     valid = jnp.arange(fanout)[None, :] < jnp.minimum(deg, fanout)[:, None]
     return samples.astype(jnp.int32), valid
 

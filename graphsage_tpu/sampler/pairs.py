@@ -39,13 +39,16 @@ class PairBatch:
     unique_nodes: np.ndarray   # int32 [U_pad]; first num_unique real
     num_unique: int
     target_rows: np.ndarray    # int32 [B] row of each original batch node
-    pos_p: np.ndarray          # int32 [B, P]
     pos_q: np.ndarray          # int32 [B, P]
     pos_mask: np.ndarray       # float32 [B, P]
-    neg_p: np.ndarray          # int32 [B, M]
     neg_q: np.ndarray          # int32 [B, M]
     neg_mask: np.ndarray       # float32 [B, M]
     node_valid: np.ndarray     # float32 [B]  (≥1 pos and ≥1 neg pair)
+    # Every pair's p-side is its batch node: (p, q) = (target_rows[b],
+    # *_q[b, j]).  There are deliberately no materialized [B, P]/[B, M]
+    # p-index tensors — the losses read target_rows directly, and the
+    # per-pair copies were pure host-build + transfer waste (~1.6 MB of
+    # int32 per step at cached scale, DCE'd by XLA on arrival).
 
 
 class PairSampler:
@@ -387,8 +390,6 @@ class PairSampler:
         pos_q[pos_maskb] = rows_all[b:b + len(pos_flat)]
         neg_q = np.zeros((b, m_max), np.int32)
         neg_q[neg_maskb] = rows_all[b + len(pos_flat):]
-        pos_p = np.where(pos_maskb, target_rows[:, None], 0).astype(np.int32)
-        neg_p = np.where(neg_maskb, target_rows[:, None], 0).astype(np.int32)
         # loss skips nodes lacking either side (src/models.py:75-76)
         node_valid = (pos_maskb.any(axis=1)
                       & neg_maskb.any(axis=1)).astype(np.float32)
@@ -396,9 +397,9 @@ class PairSampler:
         return PairBatch(
             unique_nodes=unique_arr, num_unique=n_unique,
             target_rows=target_rows,
-            pos_p=pos_p, pos_q=pos_q,
+            pos_q=pos_q,
             pos_mask=pos_maskb.astype(np.float32),
-            neg_p=neg_p, neg_q=neg_q,
+            neg_q=neg_q,
             neg_mask=neg_maskb.astype(np.float32),
             node_valid=node_valid,
         )

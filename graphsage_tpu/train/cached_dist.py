@@ -121,7 +121,7 @@ def build_unsup_epoch_stack(pair_sampler, train_nodes: np.ndarray,
     batches = np.zeros((t_steps, n_dev, u_max), np.int32)
     labs = np.zeros((t_steps, n_dev, u_max), np.int32)
     row_masks = np.zeros((t_steps, n_dev, u_max), np.float32)
-    fields = ("pos_p", "pos_q", "pos_mask", "neg_p", "neg_q", "neg_mask",
+    fields = ("pos_q", "pos_mask", "neg_q", "neg_mask",
               "node_valid", "target_rows")
     stacked = {f: [] for f in fields}
     for t in range(t_steps):

@@ -62,7 +62,7 @@ def _stack_pair_batches(pbs, b_sz: int, labels_np: np.ndarray):
     batches = np.zeros((t, u_max), np.int32)
     labels = np.zeros((t, u_max), np.int32)
     row_masks = np.zeros((t, u_max), np.float32)
-    fields = ("pos_p", "pos_q", "pos_mask", "neg_p", "neg_q", "neg_mask",
+    fields = ("pos_q", "pos_mask", "neg_q", "neg_mask",
               "node_valid", "target_rows")
     stacked = {f: [] for f in fields}
     for i, pb in enumerate(pbs):

@@ -319,9 +319,12 @@ class DistTrainer:
             grads = clip_by_global_norm(grads, tcfg.clip)
             return sgd_update(clf, grads, tcfg.clf_lr)
 
+        from jax.sharding import NamedSharding as _NS
+
         clf = jax.device_get(self.params["clf"])
         clf = jax.tree_util.tree_map(jnp.asarray, clf)
         train = np.asarray(self.ds.train_nodes)
+        best = self.max_vali_f1
         for _ in range(tcfg.clf_epochs):
             order = self.rng.permutation(train)
             for lo in range(0, len(order), tcfg.clf_b_sz):
@@ -329,10 +332,14 @@ class DistTrainer:
                 clf = clf_step(clf, jnp.asarray(embs[nodes]),
                                jnp.asarray(self.ds.labels[nodes]
                                            .astype(np.int32)))
-        from jax.sharding import NamedSharding as _NS
-        self.params["clf"] = jax.device_put(
-            jax.device_get(clf), _NS(self.mesh, P()))
-        return self.evaluate()
+            # best-val→test selection must see EVERY clf epoch, exactly
+            # as Trainer.train_classification evaluates per epoch
+            # (trainer.py:405) — a single final eval would judge only the
+            # last classifier state and miss the best one
+            self.params["clf"] = jax.device_put(
+                jax.device_get(clf), _NS(self.mesh, P()))
+            best = self.evaluate()
+        return best
 
     def fit(self) -> float:
         """Full outer loop.  Starts at ``self.epoch`` so a resumed trainer

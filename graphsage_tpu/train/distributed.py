@@ -295,8 +295,8 @@ def build_dist_unsup_batch(graph: CSRGraph, labels: np.ndarray,
                           seed=seed + 7919, gcn=gcn, cap=cap, valid=valid)
     pairs = {
         k: np.stack([np.asarray(getattr(pb, k)) for pb in pbs])
-        for k in ("target_rows", "pos_p", "pos_q", "pos_mask",
-                  "neg_p", "neg_q", "neg_mask", "node_valid")
+        for k in ("target_rows", "pos_q", "pos_mask",
+                  "neg_q", "neg_mask", "node_valid")
     }
     if target_valid is not None:
         # tail steps padded with np.resize repeats: zero the repeated
@@ -328,17 +328,17 @@ def make_dist_unsup_step(mcfg: GraphSageConfig, mesh: Mesh,
 
     def local_step(params, feats_local, requests, addr_owner, addr_slot,
                    addr_is_local, addr_local, f_idx, f_mask, f_self,
-                   labels, row_mask, target_rows, pos_p, pos_q, pos_mask,
-                   neg_p, neg_q, neg_mask, node_valid):
+                   labels, row_mask, target_rows, pos_q, pos_mask,
+                   neg_q, neg_mask, node_valid):
         requests, addr_owner, addr_slot = (requests[0], addr_owner[0],
                                            addr_slot[0])
         addr_is_local, addr_local = addr_is_local[0], addr_local[0]
         labels, row_mask = labels[0], row_mask[0]
         frontiers = [Frontier(idx=i[0], mask=m[0], self_idx=s[0])
                      for i, m, s in zip(f_idx, f_mask, f_self)]
-        pairs = {"target_rows": target_rows[0], "pos_p": pos_p[0],
+        pairs = {"target_rows": target_rows[0],
                  "pos_q": pos_q[0], "pos_mask": pos_mask[0],
-                 "neg_p": neg_p[0], "neg_q": neg_q[0],
+                 "neg_q": neg_q[0],
                  "neg_mask": neg_mask[0], "node_valid": node_valid[0]}
 
         def loss_fn(p):
@@ -373,7 +373,6 @@ def make_dist_unsup_step(mcfg: GraphSageConfig, mesh: Mesh,
                   tuple([P(axis, None)] * n_layers),
                   P(axis, None), P(axis, None),
                   P(axis, None), P(axis, None, None), P(axis, None, None),
-                  P(axis, None, None), P(axis, None, None),
                   P(axis, None, None), P(axis, None, None), P(axis, None)),
         out_specs=(P(), P()),
     )
@@ -385,8 +384,8 @@ def pairs_to_device(pairs: dict, mesh: Mesh, axis: str = "data"):
     """Place the stacked pair tensors; returns the positional tail args for
     make_dist_unsup_step's step fn (order matches its signature)."""
     from graphsage_tpu.parallel.multihost import put_global
-    order = ("target_rows", "pos_p", "pos_q", "pos_mask", "neg_p", "neg_q",
-             "neg_mask", "node_valid")
+    order = ("target_rows", "pos_q", "pos_mask",
+             "neg_q", "neg_mask", "node_valid")
     specs = {"target_rows": P(axis, None), "node_valid": P(axis, None)}
     return tuple(put_global(pairs[k], mesh,
                             specs.get(k, P(axis, None, None)))

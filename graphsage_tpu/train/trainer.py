@@ -96,9 +96,9 @@ class TrainConfig:
 
 def _pair_tensors(pb) -> dict:
     return {
-        "pos_p": jnp.asarray(pb.pos_p), "pos_q": jnp.asarray(pb.pos_q),
+        "pos_q": jnp.asarray(pb.pos_q),
         "pos_mask": jnp.asarray(pb.pos_mask),
-        "neg_p": jnp.asarray(pb.neg_p), "neg_q": jnp.asarray(pb.neg_q),
+        "neg_q": jnp.asarray(pb.neg_q),
         "neg_mask": jnp.asarray(pb.neg_mask),
         "node_valid": jnp.asarray(pb.node_valid),
         # presence of target_rows routes the losses through the dense

@@ -80,7 +80,11 @@ def _reject_unsupported(line: str, lineno: int) -> None:
         raise HoconSubsetError(
             f"line {lineno}: 'include' is full-HOCON only; install pyhocon "
             f"or inline the included file")
-    if "+=" in line:
+    # '+=' as the key/value SEPARATOR is the append operator; the same
+    # two characters inside a quoted value (cmd = "make FLAGS+=-O2") are
+    # plain data — only inspect the text before the first quote
+    unquoted = line.split('"', 1)[0].split("'", 1)[0]
+    if "+=" in unquoted:
         raise HoconSubsetError(
             f"line {lineno}: '+=' append is full-HOCON only; install "
             f"pyhocon or write the final value directly")
@@ -119,7 +123,14 @@ def parse_hocon(text: str) -> Config:
             continue
         _reject_unsupported(line, lineno)
         if line.endswith("{"):
-            stack.append(line[:-1].strip())
+            # HOCON allows an optional separator before the brace
+            # ('name = {' / 'name : {'); without stripping it the block
+            # name would keep the trailing '=' and every nested key would
+            # silently misparse ('name =.child')
+            name = line[:-1].strip()
+            if name.endswith(("=", ":")):
+                name = name[:-1].strip()
+            stack.append(name)
             continue
         if line == "}":
             if not stack:
@@ -160,6 +171,16 @@ def parse_hocon(text: str) -> Config:
                 changed = True
         if not changed:
             break
+    # anything still containing a ${...} after the passes is a cycle
+    # (a=${b}, b=${a} reaches the literal fixed point "${a}") or a chain
+    # deeper than the iteration cap — fail loudly rather than hand
+    # literal substitution text to _coerce
+    unresolved = [k for k, v in values.items()
+                  if isinstance(v, str) and _SUBST.search(v)]
+    if unresolved:
+        raise HoconSubsetError(
+            f"substitutions did not resolve (cycle or chain deeper than "
+            f"10): {unresolved!r}")
 
     return Config({k: (_coerce(v) if isinstance(v, str) else v)
                    for k, v in values.items()})

@@ -203,15 +203,29 @@ def test_cached_lstm_hybrid_matches_oracle_under_takeall():
     h1 = np.asarray(sage_layer_apply(params["sage"]["layers"][0],
                                      jnp.asarray(feats_np),
                                      jnp.asarray(mean_np), gcn=False))
-    # layer 2: padded [self, n1..nK] sequence per batch node, self masked
+    # layer 2: padded [self, n1..nK] sequence per batch node, self masked.
+    # Slot ORDER is the sampler's random permutation (take-all still
+    # permutes — the LSTM sequence order is the paper's randomization),
+    # so the oracle replays the exact sampler call cached_forward makes
+    # and checks the set separately.
+    from graphsage_tpu.sampler.device import sample_frontiers_dense
+    ids, _ = sample_frontiers_dense(jax.random.PRNGKey(7), neighbors,
+                                    degrees, jnp.asarray(batch),
+                                    num_layers=1, fanout=fanout)
+    ids = np.asarray(ids).reshape(len(batch), fanout + 1)
     seqs = np.zeros((len(batch), fanout + 1, h), np.float32)
     mask = np.zeros((len(batch), fanout + 1), np.float32)
     for i, v in enumerate(batch):
-        seqs[i, 0] = h1[v]
         nb = np.asarray(pad.neighbors[v][:pad.degrees[v]])
-        for s, u in enumerate(nb, start=1):
-            seqs[i, s] = h1[u]
-            mask[i, s] = float(u != v)
+        assert ids[i, 0] == v  # slot 0 = self
+        deg = pad.degrees[v]
+        assert set(ids[i, 1:1 + deg].tolist()) == set(nb.tolist())
+        for s in range(1, fanout + 1):
+            u = ids[i, s]
+            if s <= deg:
+                seqs[i, s] = h1[u]
+                mask[i, s] = float(u != v)
+        seqs[i, 0] = h1[v]
     agg = lstm_scan(params["sage"]["agg"][1], jnp.asarray(seqs),
                     jnp.asarray(mask))
     expect = sage_layer_apply(params["sage"]["layers"][1],

@@ -34,7 +34,19 @@ def _setup(num_nodes=203, num_feats=24, num_classes=4, seed=3,
         "sage": init_graphsage(key, mcfg),
         "clf": init_classifier(key, out_size, num_classes),
     }
-    pad = ds.graph.to_padded()
+    if agg == "LSTM":
+        # exact dist-vs-single parity needs order-DETERMINISTIC sampling,
+        # and take-all now returns a fresh random permutation (the LSTM
+        # slot order is the paper's randomization; sampler/device.py) —
+        # whose draws differ between the flat [B] and per-shard [b_loc]
+        # programs.  A degree-1 matching makes every permutation a
+        # 1-element identity while still driving the live LSTM cell and
+        # the collective wiring.
+        from graphsage_tpu.data import CSRGraph
+        src = np.arange(0, num_nodes - 1, 2, dtype=np.int64)
+        pad = CSRGraph.from_edges(num_nodes, src, src + 1).to_padded()
+    else:
+        pad = ds.graph.to_padded()
     feats, neighbors, degrees = pad_node_tables(
         ds.features, pad.neighbors, pad.degrees, N_DEV)
     return ds, mesh, mcfg, params, feats, neighbors, degrees

@@ -274,3 +274,41 @@ def test_cli_wedged_fetch_exits_loudly(monkeypatch):
                    "--b_sz", "32", "--hidden", "16", "--fanout", "4",
                    "--seed", "3", "--quiet"])
     assert codes == [17]
+
+
+def test_hocon_separator_before_brace():
+    """HOCON allows 'name = {' / 'name : {'; the block name must strip the
+    separator (it used to become the literal key prefix 'name =')."""
+    cfg = parse_hocon("setting = {\nnum_layers = 2\n}\n"
+                      "other : {\nlr : 0.7\n}\n")
+    assert cfg["setting.num_layers"] == 2
+    assert cfg["other.lr"] == 0.7
+
+
+def test_hocon_plus_equals_inside_quotes_is_data():
+    """'+=' as the append operator is rejected, but the same characters
+    inside a quoted value are plain data."""
+    from graphsage_tpu.utils.config import HoconSubsetError
+
+    cfg = parse_hocon('cmd = "make FLAGS+=-O2"\n')
+    assert cfg["cmd"] == "make FLAGS+=-O2"
+    with pytest.raises(HoconSubsetError):
+        parse_hocon("a += 2\n")
+
+
+def test_hocon_substitution_cycle_fails_loudly():
+    """A substitution cycle must raise instead of silently leaving the
+    literal '${...}' fixed point in values (a=${b}, b=${a} used to pass
+    the string '${a}' straight through to coercion).  Deep acyclic chains
+    resolve regardless of definition order — each pass telescopes chains
+    multiplicatively, so the 10-pass cap covers depth ~2^10."""
+    from graphsage_tpu.utils.config import HoconSubsetError
+
+    with pytest.raises(HoconSubsetError):
+        parse_hocon("a = ${b}\nb = ${a}\n")
+    with pytest.raises(HoconSubsetError):
+        parse_hocon("solo = ${solo}\n")
+    # a deep chain defined in reverse order still resolves
+    lines = [f"k{i} = ${{k{i-1}}}\n" for i in range(12, 0, -1)]
+    lines.append("k0 = done\n")
+    assert parse_hocon("".join(lines))["k12"] == "done"

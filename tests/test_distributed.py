@@ -356,6 +356,10 @@ def test_dist_trainer_unsup_and_plus_unsup():
     best2 = tr2.fit()
     # unsup + tiny classifier fit: just has to be finite and above chance/2
     assert np.isfinite(best2) and best2 > 0.15, (best2, tr2.history)
+    # best-val→test must see EVERY clf epoch, matching Trainer's
+    # per-epoch evaluation protocol (one train_classification call at
+    # epoch 1 → clf_epochs evals in history, not a single final one)
+    assert len(tr2.history) == tcfg2.clf_epochs, tr2.history
 
 
 def test_distributed_step_honors_compute_dtype(setup):

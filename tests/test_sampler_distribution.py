@@ -113,3 +113,34 @@ def test_subsampled_table_is_exactly_uniform():
     expected = total / deg
     assert np.all(np.abs(counts[1:] - expected) < 5 * np.sqrt(expected)), \
         counts
+
+
+def test_take_all_branch_is_random_permutation():
+    """When the padded table is narrower than the fanout, the sampler
+    returns the whole row — but its ORDER must still be a fresh random
+    permutation per key: the LSTM aggregator's slot order is the paper's
+    random permutation, and a fixed CSR-order prefix would silently make
+    the LSTM sequence deterministic."""
+    from graphsage_tpu.sampler.device import _sample_one_hop
+
+    # one node of degree 6 in a table of width 6 < fanout 10
+    neighbors = jnp.asarray(np.array([[1, 2, 3, 4, 5, 6]], np.int32))
+    degrees = jnp.asarray(np.array([6], np.int32))
+    nodes = jnp.asarray(np.array([0], np.int32))
+
+    orders = set()
+    counts = np.zeros((6, 6), np.int64)  # counts[slot, neighbor-1]
+    trials = 600
+    for t in range(trials):
+        s, v = _sample_one_hop(jax.random.PRNGKey(t), neighbors, degrees,
+                               nodes, fanout=10)
+        s = np.asarray(s)[0]
+        assert np.asarray(v)[0, :6].all() and not np.asarray(v)[0, 6:].any()
+        assert sorted(s[:6].tolist()) == [1, 2, 3, 4, 5, 6]  # take-all set
+        orders.add(tuple(s[:6].tolist()))
+        for slot in range(6):
+            counts[slot, s[slot] - 1] += 1
+    assert len(orders) > 50  # far from a single fixed order
+    # every neighbor appears in every slot with ~uniform frequency
+    expected = trials / 6
+    assert (np.abs(counts - expected) < 6 * np.sqrt(expected)).all(), counts
