@@ -260,6 +260,7 @@ def run_unsup_row(name, ds, pad, batch, dtype, fanout=10, hidden=128,
                              f"loss; vs_reference uses the MEAN sup "
                              f"baseline (see module docstring)"))
     row["learn_method"] = "unsup"
+    row["n_targets"] = n_targets  # _attach_roofline's pair-scatter term
     row["rep_step_ms"] = [round(r * 1000, 3) for r in reps]
     return row
 
@@ -362,7 +363,11 @@ def _attach_roofline(row) -> None:
         return
     fanin = 11  # fanout 10 + self slot
     if name == "powerlaw100k_b32768_cached_bfloat16_unsup":
-        rows_scattered = row["batch"] * fanin + 4096 * _UNSUP_PAIR_FANIN
+        # pair-scatter term sized from the row itself (run_unsup_row
+        # records n_targets) — a restated constant would silently go
+        # stale if the row's target count changed
+        rows_scattered = (row["batch"] * fanin
+                          + row.get("n_targets", 4096) * _UNSUP_PAIR_FANIN)
     elif row.get("pipeline") == "cached" and row.get("dtype") == "bfloat16" \
             and row.get("agg") == "MEAN":
         rows_scattered = row["batch"] * fanin
@@ -553,8 +558,18 @@ def _attempt_row_subprocess(rows, name: str, deadline: float,
         payload = next((ln[len(_ROW_MARK):] for ln
                         in reversed(proc.stdout.splitlines())
                         if ln.startswith(_ROW_MARK)), None)
-        if proc.returncode == 0 and payload is not None:
+        if payload is not None:
+            # the ROW_JSON marker means the measurement FINISHED — a
+            # nonzero rc after that is interpreter/plugin teardown dying
+            # (the documented 'FATAL: exception not rethrown' mode), and
+            # re-measuring a result we already hold would burn up to two
+            # more full row attempts of suite budget
             row = json.loads(payload)
+            if proc.returncode != 0:
+                row["child_teardown_rc"] = proc.returncode
+                print(f"# row {name}: child exited rc={proc.returncode} "
+                      f"AFTER emitting its result (teardown crash); "
+                      f"keeping the measurement", file=sys.stderr)
             rows.append(row)
             print_row(row)
             _flush(rows)
@@ -624,8 +639,11 @@ def main() -> None:
         "metric": "edges_per_sec_per_chip",
         "value": head["edges_per_sec"],
         "unit": "edges/s",
-        "vs_baseline": round(head["edges_per_sec"]
-                             / REFERENCE_EDGES_PER_SEC["MEAN"], 3),
+        # the row's own vs_reference (per-agg baseline); a fallback head
+        # row (e.g. MAX when the MEAN headline failed) must not be
+        # re-divided by the MEAN reference it wasn't measured against
+        "vs_baseline": head.get("vs_reference", round(
+            head["edges_per_sec"] / REFERENCE_EDGES_PER_SEC["MEAN"], 3)),
         "row": head["name"],
         "rows_completed": len(done),
         "rows_failed": len([r for r in rows if "error" in r]),

@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(

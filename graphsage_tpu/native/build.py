@@ -29,7 +29,13 @@ def build(verbose: bool = True) -> str:
 
 
 def ensure_built(quiet: bool = True) -> str | None:
-    """Build if missing or stale; returns the .so path or None on failure."""
+    """Build if missing or stale; returns the .so path or None on failure.
+
+    A failed staleness probe or rebuild (no g++ on the machine, csrc/
+    absent from the deployment, mtimes scrambled by a fresh checkout)
+    must NOT abandon a loadable prebuilt .so already on disk — possibly
+    stale beats the ~100x slower numpy fallback, and the engine's parity
+    tests catch genuinely broken binaries."""
     try:
         if (not os.path.exists(OUT)
                 or os.path.getmtime(OUT) < os.path.getmtime(SRC)):
@@ -38,7 +44,7 @@ def ensure_built(quiet: bool = True) -> str | None:
     except Exception as e:
         if not quiet:
             print(f"native build failed: {e}", file=sys.stderr)
-        return None
+        return OUT if os.path.exists(OUT) else None
 
 
 if __name__ == "__main__":

@@ -47,11 +47,33 @@ def initialize(coordinator_address: str | None = None,
             jax.distributed.initialize()  # auto-discovery (TPU metadata)
     except ValueError as e:
         # single-process environment: auto-discovery finds no coordinator
-        # ("coordinator_address should be defined") — benign no-op
+        # ("coordinator_address should be defined") — benign no-op.  But
+        # if the environment SAYS this is a multi-process job (cluster
+        # env vars present) a discovery failure is real: swallowing it
+        # would degrade the job into N independent single-host runs, each
+        # training the same rows — silently wrong results.
         if coordinator_address or num_processes:
             raise
         if "coordinator_address" not in str(e):
             raise
+        import os
+        present = [h for h in ("COORDINATOR_ADDRESS",
+                               "JAX_COORDINATOR_ADDRESS",
+                               "MEGASCALE_COORDINATOR_ADDRESS")
+                   if os.environ.get(h)]
+        if os.environ.get("JAX_NUM_PROCESSES", "").strip() not in ("", "0",
+                                                                   "1"):
+            present.append("JAX_NUM_PROCESSES")
+        # single-worker TPU VMs set TPU_WORKER_HOSTNAMES=localhost — only
+        # a MULTI-host value (comma-separated) implies a multi-process job
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+            present.append("TPU_WORKER_HOSTNAMES")
+        if present:
+            raise RuntimeError(
+                f"jax.distributed auto-discovery failed but the "
+                f"environment looks multi-process ({present}); refusing "
+                f"to continue single-host — pass coordinator_address/"
+                f"num_processes/process_id explicitly") from e
     except RuntimeError as e:
         # re-entry is benign (jax 0.9 raises "distributed.initialize
         # should only be called once."); backend-ordering errors are real

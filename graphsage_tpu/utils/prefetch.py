@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Iterator, TypeVar
 
 T = TypeVar("T")
@@ -82,16 +83,33 @@ class Prefetcher:
             raise StopIteration
         return item
 
-    def close(self) -> None:
-        """Abort the producer (used on error paths mid-epoch)."""
+    def close(self, timeout: float = 60.0) -> None:
+        """Abort the producer (used on error paths mid-epoch).
+
+        Blocks until the producer thread actually exits (draining the
+        queue each round so a producer parked on a full-queue ``put`` can
+        reach its stop check): the producer shares the caller's
+        ``np.random.RandomState``, so returning while it still runs would
+        let it keep mutating RNG state the recovery path is about to
+        serialize (checkpoint save).  A producer that outlives ``timeout``
+        (a truly wedged native call) is abandoned LOUDLY so the caller
+        knows its RNG state is no longer trustworthy."""
         self._stop.set()
-        # drain so a blocked producer can observe the stop flag
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=5.0)
+        deadline = time.monotonic() + timeout
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.5)
+            if time.monotonic() > deadline:
+                import sys
+                print("prefetch.close: producer thread did not exit "
+                      f"within {timeout}s — abandoning it; shared RNG "
+                      "state may still be mutated in the background",
+                      file=sys.stderr)
+                return
 
 
 def prefetch(producer: Callable[[], Iterator[T]], depth: int = 2,

@@ -115,3 +115,37 @@ def test_two_process_distributed_matches_single_process():
     np.testing.assert_allclose(results[0]["losses"], oracle_losses,
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(results[0]["w_sum"], oracle_w, rtol=1e-5)
+
+
+def test_initialize_refuses_silent_single_host_degradation(monkeypatch):
+    """When cluster env vars say this is a multi-process job, a failed
+    jax.distributed auto-discovery must raise instead of silently letting
+    every host train solo on the same rows (multihost.initialize used to
+    swallow the ValueError unconditionally)."""
+    import jax
+    import pytest as _pytest
+
+    from graphsage_tpu.parallel import multihost
+
+    def fail_discovery(*a, **k):
+        raise ValueError("coordinator_address should be defined.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fail_discovery)
+    # no hints: benign single-process no-op
+    for h in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+              "JAX_NUM_PROCESSES", "MEGASCALE_COORDINATOR_ADDRESS",
+              "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(h, raising=False)
+    multihost.initialize()
+    # a SINGLE-worker TPU VM value must not count as a hint (the axon
+    # environment sets TPU_WORKER_HOSTNAMES=localhost on one host)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    multihost.initialize()
+    # a genuinely multi-host value present: the same failure is now fatal
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with _pytest.raises(RuntimeError, match="multi-process"):
+        multihost.initialize()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    with _pytest.raises(RuntimeError, match="multi-process"):
+        multihost.initialize()

@@ -107,3 +107,24 @@ def test_native_builder_sampling_invariants():
     # (check via x0 ids of level-0 union? bottom maps level1->level0)
     level1_size = bot.idx.shape[0]
     assert level1_size >= len(batch)
+
+
+def test_ensure_built_keeps_existing_so_on_build_failure(monkeypatch):
+    """A failed staleness probe/rebuild (no g++, scrambled mtimes) must
+    not abandon a loadable prebuilt .so — it used to return None and
+    silently drop to the ~100x slower numpy path."""
+    import os
+
+    from graphsage_tpu.native import build as b
+
+    if not os.path.exists(b.OUT):
+        pytest.skip("no prebuilt .so in this tree")
+
+    def boom(*a, **k):
+        raise FileNotFoundError("g++ not found")
+
+    monkeypatch.setattr(b, "build", boom)
+    # force the stale branch so build() is attempted and fails
+    monkeypatch.setattr(b.os.path, "getmtime",
+                        lambda p: 0 if p == b.OUT else 1)
+    assert b.ensure_built(quiet=True) == b.OUT
