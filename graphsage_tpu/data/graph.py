@@ -82,9 +82,11 @@ class CSRGraph:
                   pad_value: int = 0) -> "PaddedAdjacency":
         """Compile to a dense padded neighbor table.
 
-        ``cap`` limits the per-row width; rows with degree > cap keep a
-        uniform random-free *prefix* truncation is NOT applied — instead the
-        first ``cap`` sorted neighbors are kept and ``truncated`` records it.
+        ``cap`` limits the per-row width.  Rows with degree > cap keep the
+        FIRST ``cap`` neighbors in sorted-CSR order — a BIASED prefix, not
+        a uniform subset (``truncated`` records it).  For an unbiased
+        degree cap use :meth:`to_padded_sampled`, which draws a uniform
+        ``cap``-subset per row; this method is for the exact-table case.
         For the shipped datasets ``cap=None`` (full max degree) is cheap:
         Cora max-deg ≈ 168 → 2708×168 int32 ≈ 1.8 MB.
         """

@@ -152,6 +152,8 @@ def graphsage_apply_gathered(params: dict, cfg: GraphSageConfig,
     n = feats.shape[0]
     apply_table = (
         cfg.agg_func == "MEAN" and cfg.mean_pretransform != "never"
+        and cfg.impl != "pallas"  # same rule as _use_pretransform: an
+        # explicit pallas request must actually run the pallas aggregate
         and (cfg.mean_pretransform == "always" or n <= 2 * u0))
     if not apply_table:
         with jax.named_scope("x0_gather"):
@@ -188,6 +190,12 @@ def graphsage_apply_gathered(params: dict, cfg: GraphSageConfig,
 def _use_pretransform(cfg: GraphSageConfig, h: jax.Array,
                       frontier: Frontier) -> bool:
     if cfg.agg_func != "MEAN" or cfg.mean_pretransform == "never":
+        return False
+    # an explicit impl="pallas" asks for the fused Pallas aggregate —
+    # the pretransform restructures layers to avoid aggregates entirely,
+    # which would silently bypass the kernels the user requested (e.g. a
+    # pallas-vs-xla validation run measuring the wrong path)
+    if cfg.impl == "pallas":
         return False
     if cfg.mean_pretransform == "always":
         return True

@@ -182,7 +182,13 @@ def cached_forward(params, mcfg: GraphSageConfig, feats, cache_feats,
     m1 = ids.shape[0]
     n = feats.shape[0]
     w1 = sage["layers"][0]
-    feat2 = feats.shape[1] if mcfg.gcn else 2 * feats.shape[1]
+    # both branches move BOTH tables in every mode: per-occurrence gathers
+    # a feats row AND a cache_feats row per id, full-table reads both
+    # sequentially — so the byte model uses 2D for gcn too (the gcn
+    # difference is the W shape, not the table traffic; using D here
+    # relatively doubled the 3·m1·H term and mis-steered near-crossover
+    # gcn batches to the slower branch)
+    feat2 = 2 * feats.shape[1]
     hdim1 = w1["weight"].shape[0]
     full_table = n * feat2 / 16 + 3 * m1 * hdim1 < m1 * feat2
     if mcfg.gcn:

@@ -85,10 +85,16 @@ def make_dense_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
     The batch is the *extended* batch (pair-endpoint union, reference
     src/models.py:135-148) and ``pairs`` are the fixed-shape PairBatch
     tensors (host-sampled walks/negatives) indexing into it.
-    step(params, feats, neighbors, degrees, batch, labels, pairs, key)
-    -> (params, loss)."""
+    step(params, feats, neighbors, degrees, batch, labels, pairs, key,
+    row_mask=None) -> (params, loss).  ``row_mask`` marks the REAL rows of
+    the bucket-padded extended batch (PairBatch.unique_nodes pads with
+    node 0 up to the bucket size); without it the plus_unsup NLL would
+    average phantom copies of node 0's term into the supervised loss —
+    pass ``(arange(U_pad) < pb.num_unique)`` exactly as the trainers'
+    own steps do (same contract as make_cached_unsup_step)."""
 
-    def step(params, feats, neighbors, degrees, batch, labels, pairs, key):
+    def step(params, feats, neighbors, degrees, batch, labels, pairs, key,
+             row_mask=None):
         def loss_fn(p):
             embs = dense_forward(p, mcfg, feats, neighbors, degrees,
                                  batch, key, fanout)
@@ -96,7 +102,8 @@ def make_dense_unsup_step(mcfg: GraphSageConfig, unsup_loss: str = "normal",
                                              q=q, margin=margin)
             if learn_method == "plus_unsup":
                 logp = classifier_apply(cast_compute(p["clf"], mcfg), embs)
-                mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
+                mask = (jnp.ones(batch.shape[0], dtype=jnp.float32)
+                        if row_mask is None else row_mask)
                 loss = loss + supervised_nll(logp, labels, mask)
             return loss
 

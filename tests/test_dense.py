@@ -126,3 +126,32 @@ def test_dense_equals_compact_under_takeall():
     np.testing.assert_allclose(dense_out[:len(batch)],
                                compact_out[:len(batch)],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_dense_plus_unsup_row_mask_excludes_bucket_pads(setup):
+    """The plus_unsup NLL must not average bucket-padding rows (node-0
+    duplicates in PairBatch.unique_nodes) into the supervised term — the
+    step now accepts the same row_mask contract as the cached/dist
+    steps, and masking the pads changes the loss whenever pads exist."""
+    ds, pad, mcfg, params = setup
+    ps = PairSampler(ds.graph, ds.train_nodes)
+    rng = np.random.RandomState(3)
+    batch = ds.train_nodes[rng.choice(len(ds.train_nodes), 16)]
+    pb = ps.sample_batch(batch, num_neg=20, rng=rng)
+    assert pb.num_unique < len(pb.unique_nodes), "want real bucket pads"
+
+    step = jax.jit(make_dense_unsup_step(mcfg, unsup_loss="normal",
+                                         fanout=4, lr=0.1,
+                                         learn_method="plus_unsup"))
+    ext = jnp.asarray(pb.unique_nodes)
+    labels = jnp.asarray(ds.labels)[ext]
+    args = (params, jnp.asarray(ds.features), jnp.asarray(pad.neighbors),
+            jnp.asarray(pad.degrees), ext, labels, _pair_tensors(pb),
+            jax.random.PRNGKey(2))
+    row_mask = jnp.asarray(
+        (np.arange(len(pb.unique_nodes)) < pb.num_unique)
+        .astype(np.float32))
+    _, loss_masked = step(*args, row_mask)
+    _, loss_unmasked = step(*args)
+    assert np.isfinite(float(loss_masked))
+    assert float(loss_masked) != float(loss_unmasked)

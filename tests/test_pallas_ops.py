@@ -104,3 +104,25 @@ def test_pallas_sub32bit_dtype_falls_back_on_tpu(rng):
     want = mean_aggregate(e16, jnp.asarray(idx), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(want, dtype=np.float32))
+
+
+def test_explicit_pallas_impl_disables_mean_pretransform():
+    """impl='pallas' must actually run the Pallas aggregate: the MEAN
+    pretransform restructures layers to avoid aggregates entirely, which
+    used to silently bypass the requested kernels."""
+    from graphsage_tpu.models.graphsage import (
+        Frontier,
+        GraphSageConfig,
+        _use_pretransform,
+    )
+
+    h = jnp.zeros((8, 16), jnp.float32)
+    f = Frontier(idx=jnp.zeros((64, 4), jnp.int32),
+                 mask=jnp.ones((64, 4), jnp.float32),
+                 self_idx=jnp.zeros((64,), jnp.int32))
+    cfg_x = GraphSageConfig(num_layers=2, input_size=16, out_size=16,
+                            mean_pretransform="always")
+    cfg_p = GraphSageConfig(num_layers=2, input_size=16, out_size=16,
+                            mean_pretransform="always", impl="pallas")
+    assert _use_pretransform(cfg_x, h, f)
+    assert not _use_pretransform(cfg_p, h, f)
